@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local runs use ``local[N]``; on a real cluster the same builder is used by
+``spark-submit --py-files`` (master comes from the environment).  Iceberg:
+this sandbox has no Iceberg runtime jar, so tables fall back to Spark-managed
+parquet (``TABLE_FORMAT``).  On a production cluster set
+``RASTERKIT_TABLE_FORMAT=iceberg`` and add the usual
+``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog`` configs —
+every writer in this package goes through :func:`table_writer` so the switch
+is one env var.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: storage format for engine-managed tables; 'iceberg' on a real cluster.
+TABLE_FORMAT = os.environ.get("RASTERKIT_TABLE_FORMAT", "parquet")
+
+
+def get_spark(app_name: str = "rasterkit-spark",
+              cores: int | str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale-relevant defaults:
+      - AQE on (runtime coalesce + skew-join splitting — SURVEY.md §4);
+      - Arrow execution for pandas UDFs (the only Python hot path);
+      - shuffle partitions sized to parallelism locally; at cluster scale the
+        caller passes an explicit value (~2-3x total cores).
+    """
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or int(str(cores)) * 2
+                    if str(cores).isdigit() else 64))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory",
+                os.environ.get("RASTERKIT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get(
+            "MASTER", ""):
+        builder = builder.master(f"local[{cores}]")
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-provided parquet tables."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def table_writer(df: DataFrame, mode: str = "overwrite"):
+    """Engine sink: Iceberg on a configured cluster, parquet here."""
+    return df.write.format(TABLE_FORMAT).mode(mode)
