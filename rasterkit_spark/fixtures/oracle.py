@@ -1,0 +1,117 @@
+"""Pure-numpy oracle: computes expected outputs for the extraction pipeline
+straight from the fixture tables, using the same shared kernels.
+
+In this sandbox the oracle *is* the executable spec (SURVEY.md §5.1 — the
+reference ships no golden images); every formula it uses is traced to the
+reference by file:line inside :mod:`rasterkit_spark.kernels`.  Where a real
+RasterKit binary is available, ``cargo run`` outputs can cross-check it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .. import kernels as K
+from .corpus import Corpus, chunk_layout
+
+
+def expected_region(qrow, cat_row) -> tuple[int, int, int, int]:
+    """Region via kernels.generic_crs_to_pixel_region (G5/G6/G7)."""
+    radius = getattr(qrow, "radius_m", None)
+    if radius is not None and (radius != radius):  # NaN
+        radius = None
+    x, y, w, h = K.generic_crs_to_pixel_region(
+        qrow.minx, qrow.miny, qrow.maxx, qrow.maxy,
+        cat_row.origin_x, cat_row.pixel_sx,
+        cat_row.origin_y, -cat_row.pixel_sy,
+        cat_row.width, cat_row.height,
+        int(qrow.crs), int(cat_row.epsg),
+        radius)
+    return int(x), int(y), int(w), int(h)
+
+
+def expected_tile_assignment(region, cat_row, level: int = 0):
+    """Sorted covered tile_idx list (J1/J2 with strips normalized)."""
+    x, y, w, h = region
+    img_w = cat_row.width >> level
+    img_h = cat_row.height >> level
+    cw, ch, _ = chunk_layout(img_w, img_h, cat_row.tile_w, cat_row.tile_h,
+                             cat_row.rows_per_strip)
+    sx, sy, ex, ey = K.tile_range_for_region(x, y, w, h, cw, ch)
+    across = int(K.tiles_across(img_w, cw))
+    down = (img_h + ch - 1) // ch
+    out = []
+    for ty in range(int(sy), int(ey)):
+        for tx in range(int(sx), int(ex)):
+            if tx < across and ty < down:
+                out.append(ty * across + tx)
+    return sorted(out)
+
+
+def expected_window(corpus: Corpus, qrow, cat_row, level: int = 0):
+    """Clipped window assembled from the *tile blobs* (never the ground-truth
+    array directly), exercising the full decode chain."""
+    region = expected_region(qrow, cat_row)
+    rx, ry, rw, rh = region
+    img = corpus.pixels[cat_row.media_ref][level]
+    img_h, img_w = img.shape
+    cw, ch, _ = chunk_layout(img_w, img_h, cat_row.tile_w, cat_row.tile_h,
+                             cat_row.rows_per_strip)
+    tiles = corpus.tiles
+    sel = tiles[(tiles.media_ref == cat_row.media_ref) & (tiles.level == level)]
+    sx, sy, ex, ey = K.tile_range_for_region(rx, ry, rw, rh, cw, ch)
+    out = np.zeros((rh, rw), dtype=np.uint8)
+    for trow in sel.itertuples():
+        if not (sx <= trow.tile_x < ex and sy <= trow.tile_y < ey):
+            continue
+        chunk = K.decode_chunk(bytes(trow.blob), cat_row.compression,
+                               cat_row.predictor, cw, ch)
+        K.clip_chunk_into(out, chunk, cw, ch,
+                          trow.tile_x * cw, trow.tile_y * ch, rx, ry, rw, rh)
+    new_x, new_y = K.adjust_tiepoint_for_region(
+        rx, ry, cat_row.origin_x, cat_row.origin_y,
+        cat_row.pixel_sx, cat_row.pixel_sy)
+    return dict(region=region, window=out,
+                sha256=hashlib.sha256(out.tobytes()).hexdigest(),
+                new_origin_x=float(new_x), new_origin_y=float(new_y))
+
+
+def expected_all_bbox(corpus: Corpus) -> pd.DataFrame:
+    """Expected (query_id, media_ref) → region/tiles/sha for every bbox
+    query against its raster."""
+    cat = corpus.media_catalog.set_index("media_ref", drop=False)
+    rows = []
+    for q in corpus.queries_bbox.itertuples():
+        c = cat.loc[q.media_ref]
+        if c.media_kind != "raster":
+            continue
+        exp = expected_window(corpus, q, c)
+        rows.append(dict(
+            query_id=q.query_id, media_ref=q.media_ref,
+            region_x=exp["region"][0], region_y=exp["region"][1],
+            region_w=exp["region"][2], region_h=exp["region"][3],
+            tile_idx=expected_tile_assignment(exp["region"], c),
+            window_sha256=exp["sha256"],
+            new_origin_x=exp["new_origin_x"],
+            new_origin_y=exp["new_origin_y"]))
+    return pd.DataFrame(rows)
+
+
+def oracle_window_check(corpus: Corpus) -> None:
+    """Self-check: windows cut from tile blobs must equal direct slices of
+    the ground-truth pixel array wherever the region is in-image (the
+    decode chain is lossless)."""
+    cat = corpus.media_catalog.set_index("media_ref", drop=False)
+    for q in corpus.queries_bbox.itertuples():
+        c = cat.loc[q.media_ref]
+        if c.media_kind != "raster":
+            continue
+        exp = expected_window(corpus, q, c)
+        rx, ry, rw, rh = exp["region"]
+        img = corpus.pixels[q.media_ref][0]
+        direct = img[ry: ry + rh, rx: rx + rw]
+        got = exp["window"][: direct.shape[0], : direct.shape[1]]
+        assert np.array_equal(got, direct), (q.query_id, q.media_ref)

@@ -194,6 +194,94 @@ def region_wgs84_on_mercator(minx: Column, miny: Column,
 
 
 # ---------------------------------------------------------------------------
+# G7 — generic CRS pair: crude transform → same-CRS → bounds adjust
+# ---------------------------------------------------------------------------
+
+def region_generic_crs(minx: Column, miny: Column, maxx: Column, maxy: Column,
+                       source_epsg: Column,
+                       origin_x: Column, pixel_w: Column,
+                       origin_y: Column, pixel_h: Column,
+                       img_w: Column, img_h: Column,
+                       radius_m: Column) -> list[Column]:
+    """``generic_crs_to_pixel_region`` non-special-case branch
+    (src/utils/image_extraction_utils.rs:126-147): ``try_transform_bbox``
+    (4326 → crude meters scaling at center latitude, lines 158-181), then
+    same-CRS pixel math, then ``adjust_region_to_image_bounds``
+    (lines 341-414: fully-outside/zero → centered fallback of
+    clamp(ceil(2r/|pw|), 100, 5000) px, else clip with w/h ≥ 1).
+    This path is *approximate by design* — replicated, not fixed.
+    """
+    is_wgs = source_epsg == 4326
+    center_lat = (miny + maxy) / 2
+    m_lat = F.lit(METERS_PER_DEG_LAT)
+    m_lon = F.lit(METERS_PER_DEG_LAT) * F.cos(F.radians(center_lat))
+    tminx = F.when(is_wgs, minx * m_lon).otherwise(minx)
+    tmaxx = F.when(is_wgs, maxx * m_lon).otherwise(maxx)
+    tminy = F.when(is_wgs, miny * m_lat).otherwise(miny)
+    tmaxy = F.when(is_wgs, maxy * m_lat).otherwise(maxy)
+
+    base = region_same_crs(tminx, tminy, tmaxx, tmaxy,
+                           origin_x, pixel_w, origin_y, pixel_h, img_w, img_h)
+    iw = img_w.cast("long")
+    ih = img_h.cast("long")
+    x, y, w, h = base[0], base[1], base[2], base[3]
+
+    bad = (x >= iw) | (y >= ih) | (w == 0) | (h == 0)
+
+    size = F.when(
+        radius_m.isNull(), F.lit(100).cast("long")
+    ).otherwise(
+        F.greatest(F.lit(100).cast("long"),
+                   F.least(F.lit(5000).cast("long"),
+                           F.ceil(radius_m * 2 / F.abs(pixel_w)))))
+    center_x = (iw / 2).cast("long")
+    center_y = (ih / 2).cast("long")
+    half = (size / 2).cast("long")
+    fb_x = F.greatest(center_x - half, F.lit(0))
+    fb_y = F.greatest(center_y - half, F.lit(0))
+    fb_w = F.least(size, iw - fb_x)
+    fb_h = F.least(size, ih - fb_y)
+
+    cx = F.when(x >= iw, iw - 1).otherwise(x)
+    cy = F.when(y >= ih, ih - 1).otherwise(y)
+    cw = F.greatest(F.when(cx + w > iw, iw - cx).otherwise(w), F.lit(1))
+    ch = F.greatest(F.when(cy + h > ih, ih - cy).otherwise(h), F.lit(1))
+
+    return [
+        F.when(bad, fb_x).otherwise(cx).alias("region_x"),
+        F.when(bad, fb_y).otherwise(cy).alias("region_y"),
+        F.when(bad, fb_w).otherwise(cw).alias("region_w"),
+        F.when(bad, fb_h).otherwise(ch).alias("region_h"),
+    ]
+
+
+def region_dispatch(minx: Column, miny: Column, maxx: Column, maxy: Column,
+                    source_epsg: Column, target_epsg: Column,
+                    origin_x: Column, pixel_w: Column,
+                    origin_y: Column, pixel_h: Column,
+                    img_w: Column, img_h: Column,
+                    radius_m: Column) -> list[Column]:
+    """Full ``generic_crs_to_pixel_region`` dispatch
+    (src/utils/image_extraction_utils.rs:104-147): 4326→3857 special case,
+    same-CRS direct, otherwise generic.  One Column per region field.
+    """
+    merc = region_wgs84_on_mercator(minx, miny, maxx, maxy, origin_x, pixel_w,
+                                    origin_y, pixel_h, img_w, img_h, radius_m)
+    same = region_same_crs(minx, miny, maxx, maxy, origin_x, pixel_w,
+                           origin_y, pixel_h, img_w, img_h)
+    gen = region_generic_crs(minx, miny, maxx, maxy, source_epsg, origin_x,
+                             pixel_w, origin_y, pixel_h, img_w, img_h, radius_m)
+    is_merc_case = (source_epsg == 4326) & (target_epsg == 3857)
+    is_same = source_epsg == target_epsg
+    out = []
+    for i, name in enumerate(["region_x", "region_y", "region_w", "region_h"]):
+        out.append(F.when(is_merc_case, merc[i])
+                    .when(is_same, same[i])
+                    .otherwise(gen[i]).alias(name))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # G8/G9/G10 — geotransform columns
 # ---------------------------------------------------------------------------
 

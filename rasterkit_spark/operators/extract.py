@@ -1,0 +1,190 @@
+"""Flagship extraction pipeline (SURVEY.md §3.1 / §7 Phase 1).
+
+Distributed re-expression of the reference's
+``rasterkit input.tif --extract --bbox=… --crs=…`` path
+(src/commands/extract_command.rs:251-291 → src/extractor/tile_reader.rs /
+strip_reader.rs → src/tiff/builders/geo_tags.rs:114-201):
+
+1. **Region resolution** — pure Column expressions
+   (:func:`rasterkit_spark.functions.geo.region_dispatch`), whole-stage
+   codegen, no Python.
+2. **Tile-key expansion** — each query row explodes into the covered
+   ``(media_ref, level, tile_x, tile_y)`` keys (J1/J2; strips are tiles with
+   tile_w = image width, so one code path covers both layouts).
+3. **Tile join** — equi-join against the tile table.  The query side is
+   usually tiny → broadcast; at corpus scale both sides are bucketed by
+   media_ref (AQE handles residual skew; hot refs can additionally be
+   salted — see operators/spatial.py).
+4. **Decode + clip + reassemble** — one ``applyInPandas`` over
+   ``(query_id, media_ref)`` groups running the *same* numpy kernels the
+   oracle uses (C1/C2 → W1 → P1), emitting the clipped window bytes, its
+   sha256, and the adjusted geotransform (G9).
+
+Two shuffles total: the tile join (skippable via broadcast) and the group-by
+reassembly.  Everything else is narrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from .. import kernels as K
+from ..functions import geo
+
+WINDOW_SCHEMA = StructType([
+    StructField("query_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("region_x", LongType()),
+    StructField("region_y", LongType()),
+    StructField("region_w", LongType()),
+    StructField("region_h", LongType()),
+    StructField("window", BinaryType()),
+    StructField("window_sha256", StringType()),
+    StructField("new_origin_x", DoubleType()),
+    StructField("new_origin_y", DoubleType()),
+])
+
+
+def normalized_chunk_cols() -> list:
+    """Strips-as-tiles normalization (src/extractor/strip_reader.rs:61-71):
+    chunk_w = tile_w or image width; chunk_h = tile_h or rows_per_strip,
+    with the NULL-rows_per_strip quirk defaulting to image **width**.
+    0 encodes NULL in the catalog fixtures."""
+    tile_w = F.col("tile_w")
+    tile_h = F.col("tile_h")
+    rps = F.col("rows_per_strip")
+    width = F.col("width")
+    chunk_w = F.when(tile_w > 0, tile_w).otherwise(width)
+    chunk_h = F.when(tile_h > 0, tile_h).otherwise(
+        F.when(rps > 0, rps).otherwise(width))  # ← quirk: default = width
+    return [chunk_w.alias("chunk_w"), chunk_h.alias("chunk_h")]
+
+
+def resolve_regions(queries: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Join bbox queries to the raster catalog and compute pixel regions.
+
+    The catalog is metadata-only (no blobs) → broadcast-join.
+    ``queries`` needs columns: query_id, media_ref, minx/miny/maxx/maxy,
+    crs, radius_m (nullable).
+    """
+    cat = catalog.filter(F.col("media_kind") == "raster").select(
+        "media_ref", "width", "height", "tile_w", "tile_h", "rows_per_strip",
+        "epsg", "pixel_sx", "pixel_sy", "origin_x", "origin_y",
+        "compression", "predictor", *normalized_chunk_cols())
+    q = queries.join(F.broadcast(cat), "media_ref", "inner")
+    # geotransform: pixel_h = -pixel_sy (G8)
+    region = geo.region_dispatch(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+        F.col("crs"), F.col("epsg"),
+        F.col("origin_x"), F.col("pixel_sx"),
+        F.col("origin_y"), -F.col("pixel_sy"),
+        F.col("width"), F.col("height"),
+        F.col("radius_m") if "radius_m" in queries.columns else F.lit(None).cast("double"))
+    out = q.select("*", *region)
+    tie = geo.adjusted_tiepoint_cols(
+        F.col("region_x"), F.col("region_y"),
+        F.col("origin_x"), F.col("origin_y"),
+        F.col("pixel_sx"), F.col("pixel_sy"))
+    return out.select("*", *tie)
+
+
+def expand_tile_keys(regions: DataFrame, level: int = 0) -> DataFrame:
+    """J1/J2 key expansion: one row per covered chunk.
+
+    The explode is bounded by (w/chunk+2)·(h/chunk+2) per query — narrow,
+    no shuffle.  OOB chunk keys simply find no match in the inner join
+    (mirrors the reference's index-bounds ``continue``,
+    tile_reader.rs:125-129).
+    """
+    rng = geo.tile_range_cols(F.col("region_x"), F.col("region_y"),
+                              F.col("region_w"), F.col("region_h"),
+                              F.col("chunk_w"), F.col("chunk_h"))
+    r = regions.select("*", *rng)
+    r = r.withColumn("tile_y", F.explode(
+        F.sequence(F.col("start_tile_y"), F.col("end_tile_y") - 1)))
+    r = r.withColumn("tile_x", F.explode(
+        F.sequence(F.col("start_tile_x"), F.col("end_tile_x") - 1)))
+    return r.withColumn("level", F.lit(level)).drop(
+        "start_tile_x", "start_tile_y", "end_tile_x", "end_tile_y")
+
+
+def join_tiles(keys: DataFrame, tiles: DataFrame,
+               broadcast_keys: bool | None = None) -> DataFrame:
+    """Equi-join covered keys against the tile table.
+
+    ``broadcast_keys=True`` broadcasts the (small) query side so the big
+    tile table never shuffles — the right call when queries ≪ tiles.
+    ``None`` lets AQE decide.
+    """
+    t = tiles.select("media_ref", "level", "tile_x", "tile_y", "blob")
+    k = F.broadcast(keys) if broadcast_keys else keys
+    return k.join(t, ["media_ref", "level", "tile_x", "tile_y"], "inner")
+
+
+def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-(query_id, media_ref) group: decode every chunk through the shared
+    kernels and clip into the output window (C→W1→P1)."""
+    first = pdf.iloc[0]
+    rx, ry = int(first.region_x), int(first.region_y)
+    rw, rh = int(first.region_w), int(first.region_h)
+    cw, ch = int(first.chunk_w), int(first.chunk_h)
+    comp, pred = int(first.compression), int(first.predictor)
+    out = np.zeros((rh, rw), dtype=np.uint8)
+    for row in pdf.itertuples():
+        chunk = K.decode_chunk(bytes(row.blob), comp, pred, cw, ch)
+        K.clip_chunk_into(out, chunk, cw, ch,
+                          int(row.tile_x) * cw, int(row.tile_y) * ch,
+                          rx, ry, rw, rh)
+    buf = out.tobytes()
+    return pd.DataFrame([{
+        "query_id": first.query_id,
+        "media_ref": first.media_ref,
+        "region_x": rx, "region_y": ry, "region_w": rw, "region_h": rh,
+        "window": bytearray(buf),
+        "window_sha256": hashlib.sha256(buf).hexdigest(),
+        "new_origin_x": float(first.new_origin_x),
+        "new_origin_y": float(first.new_origin_y),
+    }])
+
+
+def decode_and_clip(joined: DataFrame) -> DataFrame:
+    """Group chunks back into clipped windows (Arrow-batched)."""
+    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
+            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
+            "tile_x", "tile_y", "blob", "new_origin_x", "new_origin_y"]
+    return (joined.select(*cols)
+            .groupBy("query_id", "media_ref")
+            .applyInPandas(_assemble, WINDOW_SCHEMA))
+
+
+def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
+            level: int = 0, broadcast_keys: bool = True) -> DataFrame:
+    """End-to-end flagship extraction: bbox queries → clipped windows +
+    adjusted geotransform.  See module docstring for the physical plan."""
+    regions = resolve_regions(queries, catalog)
+    keys = expand_tile_keys(regions, level=level)
+    joined = join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
+    return decode_and_clip(joined)
+
+
+def extract_for_docs(docs: DataFrame, catalog: DataFrame, tiles: DataFrame,
+                     queries: DataFrame) -> DataFrame:
+    """Corpus entry point (input_hint shape): docs → posexplode(spans) →
+    media join → extraction, preserving span order for reassembly (J4).
+
+    Returns one row per (doc_id, span position, query) clipped window; the
+    span-sequence invariant is testable by re-aggregating with
+    ``array_sort`` on ``pos`` (tests/test_extract_parity.py).
+    """
+    spans = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span"))
+    media_spans = spans.filter(F.col("span.kind") == "media").select(
+        "doc_id", "pos", F.col("span.media_ref").alias("media_ref"))
+    windows = extract(queries, catalog, tiles)
+    return media_spans.join(windows, "media_ref", "inner")
