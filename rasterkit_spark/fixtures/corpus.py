@@ -327,13 +327,34 @@ def make_queries(catalog: pd.DataFrame, n_per_kind: int = 25,
             pd.DataFrame(poly_rows))
 
 
-def make_zones(n_zones: int = 8, seed: int = SEED) -> pd.DataFrame:
+def make_zones(catalog: pd.DataFrame | None = None, n_zones: int = 8,
+               seed: int = SEED) -> pd.DataFrame:
+    """Zones anchored over raster footprints (so zonal stats have pixels
+    to aggregate), expressed in 4326."""
     rng = np.random.default_rng(seed + 5)
+    rasters = (catalog[catalog.media_kind == "raster"].reset_index(drop=True)
+               if catalog is not None else None)
     rows = []
     for z in range(n_zones):
-        cx = float(rng.uniform(-60, 60))
-        cy = float(rng.uniform(-50, 50))
-        r = float(rng.uniform(2, 10))
+        if rasters is not None:
+            rec = rasters.iloc[z % len(rasters)]
+            fw = rec.width * rec.pixel_sx
+            fh = rec.height * rec.pixel_sy
+            ccx = rec.origin_x + fw * float(rng.uniform(0.3, 0.7))
+            ccy = rec.origin_y - fh * float(rng.uniform(0.3, 0.7))
+            if rec.epsg == 3857:
+                lon, lat = K.webmercator_to_wgs84(np.array([ccx]), np.array([ccy]))
+                cx, cy = float(lon[0]), float(lat[0])
+                # radius ~ a chunk of the footprint, in degrees
+                r = float(fw * rng.uniform(0.2, 0.5) / 111_320.0
+                          / max(np.cos(np.radians(cy)), 0.2))
+            else:
+                cx, cy = float(ccx), float(ccy)
+                r = float(max(fw, fh) * rng.uniform(0.2, 0.5))
+        else:
+            cx = float(rng.uniform(-60, 60))
+            cy = float(rng.uniform(-50, 50))
+            r = float(rng.uniform(2, 10))
         pts = [(cx + r * np.cos(t), cy + r * np.sin(t))
                for t in np.linspace(0, 2 * np.pi, 9)[:-1]]
         wkt = "POLYGON((" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts)
@@ -349,7 +370,7 @@ def build_corpus(n_media: int = 12, n_docs: int = 200,
     docs = make_docs(catalog, n_docs, seed)
     colormaps = make_colormaps(seed)
     qb, qp, qg = make_queries(catalog, n_queries, seed)
-    zones = make_zones(seed=seed)
+    zones = make_zones(catalog, seed=seed)
     return Corpus(media_catalog=catalog, tiles=tiles, docs=docs,
                   colormaps=colormaps, queries_bbox=qb, queries_point=qp,
                   queries_polygon=qg, zones=zones, pixels=pixels)

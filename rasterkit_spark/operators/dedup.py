@@ -1,0 +1,292 @@
+"""Deduplication operators over the ``documents`` table — first-class
+training-data-pipeline ops (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Portability: the hash primitive everywhere is md5 (identical hex output in
+Spark and DuckDB), folded to int64 by taking the first 15 hex digits —
+so the DuckDB oracle can replay the exact same signatures.  Engine-specific
+hashes (xxhash64) are deliberately avoided in anything oracle-checked.
+
+Scale notes (10¹²-doc design point):
+- shingling is an explode → the inverted-index joins group on (shingle) or
+  (band, signature); frequent-shingle caps bound the quadratic blowup;
+- candidate pairs are always verified exactly before being emitted, so the
+  LSH stages only affect recall, never precision;
+- all joins are equi-joins on hashed keys → well-distributed by default,
+  with AQE skew handling on; pair generation uses id< id ordering to halve
+  the shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def md5_int(c: Column) -> Column:
+    """Portable 60-bit int from md5 (first 15 hex digits).  DuckDB replay:
+    CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) — wait, DuckDB uses
+    from_hex semantics; the harness uses the same conv-from-hex form."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingle array via sequence+transform (JVM-side)."""
+    count = F.greatest(F.length(text) - (n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), count),
+                       lambda i: F.substring(text, i, n))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (split on single spaces, portable)."""
+    words = F.split(F.trim(text), " ")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one representative (min id) per distinct
+    text, with the duplicate count.  Map-side partial agg + one shuffle."""
+    h = F.md5(F.col(text_col)).alias("text_md5")
+    return (docs.select(F.col(id_col), h)
+            .groupBy("text_md5")
+            .agg(F.min(id_col).alias("rep_id"),
+                 F.count("*").alias("dup_count")))
+
+
+def exact_dup_pairs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id_a < id_b) pairs sharing identical text."""
+    a = docs.select(F.col(id_col).alias("id_a"),
+                    F.md5(F.col(text_col)).alias("h"))
+    b = docs.select(F.col(id_col).alias("id_b"),
+                    F.md5(F.col(text_col)).alias("h"))
+    return a.join(b, "h").filter(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
+                        n: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        use_words: bool = False) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingle sets.
+
+    inverted index: explode distinct shingles → self-join on shingle →
+    count shared → |A∪B| = |A|+|B|−shared.  Output jaccard scaled ×1e6
+    (floor) for float-free comparison.  At corpus scale, cap ultra-frequent
+    shingles before the join (they contribute pairs quadratically)."""
+    sh = F.explode(F.array_distinct(
+        (word_shingles if use_words else shingles)(F.col(text_col), n)))
+    tok = docs.select(F.col(id_col).alias("id"), sh.alias("shingle"))
+    sizes = tok.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = tok.select(F.col("id").alias("id_a"), "shingle")
+    b = tok.select(F.col("id").alias("id_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("shared")))
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    j = (shared.join(sz_a, "id_a").join(sz_b, "id_b")
+         .withColumn("jaccard_e6", F.floor(
+             F.col("shared") * 1e6 /
+             (F.col("size_a") + F.col("size_b") - F.col("shared"))).cast("long")))
+    return (j.filter(F.col("jaccard_e6") >= int(threshold * 1e6))
+            .select("id_a", "id_b", "jaccard_e6"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column:
+    """Array of ``n_hashes`` minhash values over character shingles.
+
+    Permutation family: h_k(s) = (a_k·md5int(s) + b_k) mod M61 with fixed
+    odd constants — deterministic and replayable in SQL."""
+    base = F.transform(F.array_distinct(shingles(text, shingle_n)),
+                       lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                                  .cast("long"))
+    sigs = []
+    for k in range(n_hashes):
+        a = 2 * k + 1
+        b = 104729 * (k + 1)
+        sigs.append(F.array_min(F.transform(
+            base, lambda h: (h * a + b) % MERSENNE_61)))
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float,
+                      n_hashes: int = 32, bands: int = 16,
+                      shingle_n: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash+LSH candidate generation followed by exact-Jaccard
+    verification.
+
+    bands × rows = n_hashes; a pair collides if any band's signature slice
+    matches exactly.  Candidates are verified with
+    :func:`ngram_jaccard_pairs` semantics, so precision is exact; recall is
+    1−(1−s^r)^b (≈1 for near-dups at these defaults)."""
+    rows = n_hashes // bands
+    sig = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")) \
+        .withColumn("sig", minhash_signature(F.col("t"), n_hashes, shingle_n))
+    bands_df = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bnd).alias("band"),
+                     F.concat_ws("_", *[
+                         F.element_at("sig", bnd * rows + r + 1)
+                         for r in range(rows)]).alias("bsig"))
+            for bnd in range(bands)])).alias("b"))
+    buckets = bands_df.select("id", F.col("b.band").alias("band"),
+                              F.col("b.bsig").alias("bsig"))
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bsig")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bsig")
+    cand = (a.join(b, ["band", "bsig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates())
+    # exact verification restricted to candidate pairs: inverted-index join
+    # over only the docs that appear in some candidate (semi-join pruning)
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n)))
+         .alias("shingle"))
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))).distinct()
+    tok_c = tok.join(F.broadcast(ids), "id", "left_semi")
+    aa = tok_c.select(F.col("id").alias("id_a"), "shingle")
+    bb = tok_c.select(F.col("id").alias("id_b"), "shingle")
+    shared = (aa.join(bb, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .join(cand, ["id_a", "id_b"], "left_semi")
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("shared")))
+    j = (shared
+         .join(sizes.select(F.col("id").alias("id_a"),
+                            F.col("sz").alias("size_a")), "id_a")
+         .join(sizes.select(F.col("id").alias("id_b"),
+                            F.col("sz").alias("size_b")), "id_b")
+         .withColumn("jaccard_e6", F.floor(
+             F.col("shared") * 1e6 /
+             (F.col("size_a") + F.col("size_b") - F.col("shared"))).cast("long")))
+    return (j.filter(F.col("jaccard_e6") >= int(threshold * 1e6))
+            .select("id_a", "id_b", "jaccard_e6"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens: per-token md5-derived 60-bit
+    value; bit b contributes +1/−1; sign of the sum sets the output bit.
+    (60 usable bits from the portable md5-int; bits 60-63 are zero.)"""
+    toks = F.filter(F.split(F.trim(text), " "), lambda w: F.length(w) > 0)
+    hs = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 15),
+                                            16, 10).cast("long"))
+    out = F.lit(0).cast("long")
+    for b in range(60):
+        votes = F.aggregate(
+            hs, F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(1 << b).cast("long")) != 0,
+                F.lit(1)).otherwise(F.lit(-1)))
+        out = out + F.when(votes > 0, F.lit(1 << b).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: band on 4×15-bit chunks (any equal chunk →
+    candidate; guarantees recall for hamming ≤ 3), verify exact hamming."""
+    s = docs.select(F.col(id_col).alias("id"),
+                    simhash64(F.col(text_col)).alias("sig"))
+    chunks = s.select("id", "sig", F.explode(F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright("sig", c * 15).bitwiseAND(F.lit((1 << 15) - 1))
+                  .alias("csig")) for c in range(4)])).alias("c"))
+    chunks = chunks.select("id", "sig", F.col("c.chunk").alias("chunk"),
+                           F.col("c.csig").alias("csig"))
+    a = chunks.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                      "chunk", "csig")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                      "chunk", "csig")
+    cand = (a.join(b, ["chunk", "csig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates(
+                ["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Exact cosine via higher-order functions (JVM-side, no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_planes: int = 8) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold.
+
+    Bucketing: sign-of-projection LSH onto ``n_planes`` deterministic
+    pseudo-random hyperplanes (seeded per plane from the dimension index) —
+    any single-plane-band match makes a candidate; exact cosine verifies.
+    The plane family uses deterministic ±1 weights from md5 of
+    (plane, dim), replayable in SQL."""
+    dim_count = len(embeddings.select(vec_col).first()[0])
+    import hashlib as _h
+
+    def plane_weights(p):
+        return [1.0 if _h.md5(f"{p}:{d}".encode()).digest()[0] % 2 else -1.0
+                for d in range(dim_count)]
+
+    e = embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+    sig_bits = []
+    for p in range(n_planes):
+        w = plane_weights(p)
+        proj = F.aggregate(
+            F.zip_with(F.col("v"),
+                       F.array(*[F.lit(x) for x in w]).cast("array<double>"),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = sum((b * (1 << i) for i, b in enumerate(sig_bits)),
+              F.lit(0)).alias("bucket")
+    bucketed = e.select("id", "v", sig)
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_sim(F.col("v_a"), F.col("v_b"))
+    return (cand.withColumn("cos_e6", F.floor(cos * 1e6).cast("long"))
+            .filter(F.col("cos_e6") >= int(threshold * 1e6))
+            .select("id_a", "id_b", "cos_e6").dropDuplicates(["id_a", "id_b"]))

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force cosine top-k, the correctness
+  baseline: query side broadcast, dot products via higher-order functions
+  (JVM-side), window top-k.  O(Q·N) but embarrassingly parallel.
+- :func:`ivf_topk` — the scale path: IVF-style inverted-file index.
+  Centroids are learned driver-side on a seeded sample (k-means, a few
+  Lloyd iterations — the classic sample-fit/broadcast-assign pattern),
+  vectors are assigned to their nearest centroid (one narrow pandas UDF),
+  and each query probes only the ``nprobe`` nearest lists.  Recall < 1 by
+  construction; pair with :func:`cosine_topk` on a sample to measure it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import IntegerType
+
+from .dedup import cosine_sim
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", qvec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine: (qid, nbr_id, rank, cos_e6).
+
+    Ties broken by neighbor id; cosine scaled ×1e6 floor for float-free
+    comparison.  Self-matches are not excluded (callers filter if needed).
+    """
+    e = embeddings.select(F.col(id_col).alias("nbr_id"),
+                          F.col(vec_col).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).alias("qv"))
+    cand = e.crossJoin(F.broadcast(q))
+    cos = cosine_sim(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.col("nbr_id"))
+    return (cand.withColumn("cos_e6", F.floor(cos * 1e6).cast("long"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank", "cos_e6"))
+
+
+def _kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 5,
+                seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)),
+                     replace=False)
+    cents = sample[idx].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(0)
+    return cents
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+             n_lists: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "embedding",
+             sample_rows: int = 2000, seed: int = 42) -> DataFrame:
+    """Approximate top-k: centroid-bucketed search probing ``nprobe`` lists.
+
+    Scale behavior: the expensive exact scoring touches only
+    ~nprobe/n_lists of the corpus per query; assignment is one narrow
+    Arrow-batched pass; centroids are broadcast (tiny)."""
+    sample = np.array(
+        [r[0] for r in embeddings.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64)
+    cents = _kmeans_fit(sample, n_lists, seed=seed)
+    bc = cents  # captured in closures (small)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IntegerType())
+    def assign_udf(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        d = ((m[:, None, :] - bc[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    e = embeddings.select(F.col(id_col).alias("nbr_id"),
+                          F.col(vec_col).alias("v"),
+                          assign_udf(F.col(vec_col)).alias("list_id"))
+
+    q_rows = queries.select(qid_col, qvec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = ((bc - qv[None, :]) ** 2).sum(-1)
+        for lid in np.argsort(d)[:nprobe]:
+            probe_rows.append((r[0], list(map(float, r[1])), int(lid)))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["qid", "qv", "list_id"])
+
+    cand = e.join(F.broadcast(probes), "list_id")
+    cos = cosine_sim(F.col("qv").cast("array<double>"),
+                     F.col("v").cast("array<double>"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.col("nbr_id"))
+    return (cand.withColumn("cos_e6", F.floor(cos * 1e6).cast("long"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank", "cos_e6"))
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
+    """Mean fraction of exact top-k recovered by the approximate result."""
+    ex = exact.filter(F.col("rank") <= k).select("qid", "nbr_id")
+    ap = approx.filter(F.col("rank") <= k).select("qid", "nbr_id")
+    hits = ex.join(ap, ["qid", "nbr_id"]).groupBy("qid").count()
+    n_q = ex.select("qid").distinct().count()
+    if n_q == 0:
+        return 1.0
+    total_hits = hits.agg(F.sum("count")).collect()[0][0] or 0
+    return float(total_hits) / (n_q * k)

@@ -1,0 +1,361 @@
+"""Distributed spatial joins (SURVEY.md §7 Phase 2 — the genuinely new
+capability; the reference has only rect/circle membership,
+src/coordinate/bbox.rs:85-88 and src/utils/mask_utils.rs:42-57).
+
+Operators:
+- :func:`index_points` — grid-cell indexing (G13) via pure Column math.
+- :func:`pip_join` — point-in-polygon: cell-cover semi-join (coarse) +
+  exact vectorized ray-cast refinement (J5).
+- :func:`knn_join` — exact kNN via cell-ring expansion with a per-query
+  correctness certificate: after a ring-r pass, a query's result is final
+  only if its Kth candidate distance ≤ the minimum possible distance to any
+  unexplored cell; others retry with a wider ring (J6).
+- :func:`zonal_stats` — polygon × raster: region → tile join → decode →
+  PIP-masked min/max/sum/count per zone (J7; aggregate semantics follow
+  A1/A2, src/utils/tiff_extraction_utils.rs:40-94).
+- :func:`add_salt` / hot-cell salting for skewed cells (north_rule).
+
+Scale notes: the polygon side is exploded per covering cell and joined on
+the cell key — broadcast when small, shuffle otherwise; AQE skew-join plus
+explicit salting handles Zipf-hot cells.  All refinement kernels are
+Arrow-batched numpy grouped *per polygon* inside each batch (no per-row
+Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, LongType,
+                               StringType, StructField, StructType)
+
+from .. import kernels as K
+from ..functions import cells as C
+
+
+# ---------------------------------------------------------------------------
+# WKT (tiny, polygon-side only — never on the point/doc side)
+# ---------------------------------------------------------------------------
+
+def parse_wkt_polygon(wkt: str):
+    """Minimal 'POLYGON((x y, …))' outer-ring parser (fixture WKT dialect)."""
+    inner = wkt.strip()[len("POLYGON(("):].split(")")[0]
+    xs, ys = [], []
+    for pair in inner.split(","):
+        x, y = pair.split()
+        xs.append(float(x))
+        ys.append(float(y))
+    if xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    return xs, ys
+
+
+_WKT_SCHEMA = StructType([StructField("xs", ArrayType(DoubleType())),
+                          StructField("ys", ArrayType(DoubleType()))])
+
+
+@F.pandas_udf(_WKT_SCHEMA)
+def wkt_coords_udf(wkt: pd.Series) -> pd.DataFrame:
+    parsed = [parse_wkt_polygon(w) for w in wkt]
+    return pd.DataFrame({"xs": [p[0] for p in parsed],
+                         "ys": [p[1] for p in parsed]})
+
+
+def polygons_with_cover(polys: DataFrame, wkt_col: str, res: int) -> DataFrame:
+    """Parse WKT once, attach bbox + covering grid cells (in Mercator),
+    explode to one row per (polygon, cell)."""
+    from ..functions import geo
+    p = polys.withColumn("_coords", wkt_coords_udf(F.col(wkt_col)))
+    p = p.withColumn("_minx", F.array_min("_coords.xs")) \
+         .withColumn("_maxx", F.array_max("_coords.xs")) \
+         .withColumn("_miny", F.array_min("_coords.ys")) \
+         .withColumn("_maxy", F.array_max("_coords.ys"))
+    cover = C.grid_cells_for_bbox(
+        geo.merc_x(F.col("_minx")), geo.merc_y(F.col("_miny")),
+        geo.merc_x(F.col("_maxx")), geo.merc_y(F.col("_maxy")), res)
+    return p.withColumn("cell", F.explode(cover))
+
+
+def index_points(points: DataFrame, lon_col: str, lat_col: str,
+                 res: int) -> DataFrame:
+    """Attach the grid cell id (pure Column math, codegen)."""
+    return points.withColumn(
+        "cell", C.grid_cell_from_lonlat(F.col(lon_col), F.col(lat_col), res))
+
+
+# ---------------------------------------------------------------------------
+# Hot-cell salting
+# ---------------------------------------------------------------------------
+
+def add_salt(df: DataFrame, key_col: str, hot_keys: DataFrame,
+             n_salt: int = 8) -> DataFrame:
+    """Salt rows whose key appears in ``hot_keys`` (a pre-pass count above
+    threshold): salt = pmod(hash(<row>), n_salt); cold keys get salt 0.
+    The other join side must explode 0..n_salt-1 for hot keys."""
+    hk = hot_keys.select(F.col(key_col).alias("_hot_key"),
+                         F.lit(True).alias("_is_hot"))
+    out = df.join(F.broadcast(hk), df[key_col] == hk["_hot_key"], "left")
+    return (out.withColumn(
+        "salt",
+        F.when(F.col("_is_hot").isNotNull(),
+               F.pmod(F.hash(*df.columns), F.lit(n_salt)))
+         .otherwise(F.lit(0)))
+        .drop("_hot_key", "_is_hot"))
+
+
+def hot_cells(points: DataFrame, threshold: int) -> DataFrame:
+    """Pre-pass: cells whose point count exceeds ``threshold``."""
+    return (points.groupBy("cell").count()
+            .filter(F.col("count") > threshold).select("cell"))
+
+
+# ---------------------------------------------------------------------------
+# J5 — point-in-polygon join
+# ---------------------------------------------------------------------------
+
+_PIP_SCHEMA_FIELDS = [
+    StructField("point_id", StringType()),
+    StructField("poly_id", StringType()),
+]
+PIP_SCHEMA = StructType(_PIP_SCHEMA_FIELDS)
+
+
+def _refine_pip(pdf_iter):
+    """mapInPandas refinement: per batch, group candidates by polygon and
+    run the vectorized ray-cast once per polygon (kernels.points_in_polygon)."""
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        keep_rows = []
+        for poly_id, grp in pdf.groupby("poly_id", sort=False):
+            xs = np.asarray(grp.iloc[0].poly_xs, dtype=np.float64)
+            ys = np.asarray(grp.iloc[0].poly_ys, dtype=np.float64)
+            inside = K.points_in_polygon(grp.px.to_numpy(), grp.py.to_numpy(),
+                                         xs, ys)
+            sub = grp.loc[inside, ["point_id", "poly_id"]]
+            keep_rows.append(sub)
+        if keep_rows:
+            yield pd.concat(keep_rows)
+
+
+def pip_join(points: DataFrame, polys: DataFrame,
+             point_id: str, lon_col: str, lat_col: str,
+             poly_id: str, wkt_col: str,
+             res: int = 12, broadcast_polys: bool = True) -> DataFrame:
+    """Exact point-in-polygon join.
+
+    Coarse: equi-join on grid cell (polygon side exploded over its bbox
+    cover — a rectangle superset, so no false negatives).  Fine: ray-cast
+    refinement.  Returns (point_id, poly_id) pairs.
+    """
+    pts = index_points(points, lon_col, lat_col, res).select(
+        F.col(point_id).cast("string").alias("point_id"),
+        F.col(lon_col).alias("px"), F.col(lat_col).alias("py"), "cell")
+    pol = polygons_with_cover(polys, wkt_col, res).select(
+        F.col(poly_id).cast("string").alias("poly_id"),
+        F.col("_coords.xs").alias("poly_xs"),
+        F.col("_coords.ys").alias("poly_ys"),
+        "_minx", "_maxx", "_miny", "_maxy", "cell")
+    if broadcast_polys:
+        pol = F.broadcast(pol)
+    cand = pts.join(pol, "cell", "inner")
+    # cheap bbox pre-filter before the exact kernel (P7 semantics)
+    cand = cand.filter((F.col("px") >= F.col("_minx")) &
+                       (F.col("px") <= F.col("_maxx")) &
+                       (F.col("py") >= F.col("_miny")) &
+                       (F.col("py") <= F.col("_maxy")))
+    refined = cand.select("point_id", "poly_id", "px", "py",
+                          "poly_xs", "poly_ys").mapInPandas(
+        _refine_pip, PIP_SCHEMA)
+    return refined.dropDuplicates(["point_id", "poly_id"])
+
+
+# ---------------------------------------------------------------------------
+# J6 — exact kNN join via ring expansion
+# ---------------------------------------------------------------------------
+
+def _eq_cell(x: F.Column, y: F.Column, res: int, lo_x: float, span_x: float,
+             lo_y: float, span_y: float):
+    """Equirectangular cell (ix, iy) at 2^res per axis over a fixed frame —
+    kNN runs in the *distance* coordinate space, so the ring-certificate
+    math stays exact."""
+    n = 1 << res
+    ix = F.greatest(F.lit(0), F.least(
+        F.floor((x - F.lit(lo_x)) / F.lit(span_x) * n), F.lit(n - 1)))
+    iy = F.greatest(F.lit(0), F.least(
+        F.floor((y - F.lit(lo_y)) / F.lit(span_y) * n), F.lit(n - 1)))
+    return ix.cast("long"), iy.cast("long")
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int,
+             point_id: str = "id", query_id: str = "qid",
+             x_col: str = "x", y_col: str = "y",
+             res: int = 6, max_rounds: int = 8,
+             frame=(-180.0, 360.0, -90.0, 180.0)) -> DataFrame:
+    """Exact k-nearest-neighbor join (euclidean in the given coordinates).
+
+    Ring expansion: round i joins each pending query's (2r+1)² cell block
+    (r doubles per round) against cell-bucketed points, takes the top-K by
+    distance, and *certifies* a query finished iff its Kth distance ≤
+    r·min_cell_extent (any point outside the block is at least that far —
+    Chebyshev ≤ Euclidean).  Uncertified queries go to the next round.
+    Driver loop is O(log(max_ring)) rounds; each round is one shuffle-join +
+    one window top-K.
+    """
+    lo_x, span_x, lo_y, span_y = frame
+    n = 1 << res
+    cell_w = span_x / n
+    cell_h = span_y / n
+    min_extent = min(cell_w, cell_h)
+
+    ix, iy = _eq_cell(F.col(x_col), F.col(y_col), res, lo_x, span_x, lo_y, span_y)
+    pts = points.select(
+        F.col(point_id).alias("nbr_id"),
+        F.col(x_col).alias("px"), F.col(y_col).alias("py"),
+        ix.alias("pix"), iy.alias("piy"))
+    pts = pts.withColumn("pcell", F.col("pix") * n + F.col("piy")).cache()
+
+    qix, qiy = _eq_cell(F.col(x_col), F.col(y_col), res, lo_x, span_x, lo_y, span_y)
+    pending = queries.select(
+        F.col(query_id).alias("qid_"),
+        F.col(x_col).alias("qx"), F.col(y_col).alias("qy"),
+        qix.alias("qix"), qiy.alias("qiy"))
+
+    from pyspark.sql import Window
+    results = []
+    ring = 1
+    for _ in range(max_rounds):
+        side = 2 * ring + 1
+        offs = F.sequence(F.lit(0), F.lit(side * side - 1))
+        cand_cells = F.transform(
+            offs,
+            lambda o: (F.greatest(F.lit(0), F.least(
+                F.col("qix") + (o / side).cast("long") - ring, F.lit(n - 1))) * n
+                + F.greatest(F.lit(0), F.least(
+                    F.col("qiy") + o % side - ring, F.lit(n - 1)))))
+        q_cells = pending.withColumn(
+            "pcell", F.explode(F.array_distinct(cand_cells)))
+        cand = q_cells.join(pts, "pcell", "inner")
+        cand = cand.withColumn(
+            "dist", F.sqrt(F.pow(F.col("px") - F.col("qx"), 2)
+                           + F.pow(F.col("py") - F.col("qy"), 2)))
+        w = Window.partitionBy("qid_").orderBy("dist", "nbr_id")
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+        # certificate: Kth distance within the guaranteed-covered radius
+        certified_radius = ring * min_extent
+        stats = topk.groupBy("qid_").agg(
+            F.max("dist").alias("kth_dist"), F.count("*").alias("n_cand"))
+        done_ids = stats.filter(
+            (F.col("n_cand") >= k) & (F.col("kth_dist") <= certified_radius)
+        ).select("qid_")
+        # queries with fewer candidates than k but a full-frame ring are done
+        full_frame = ring >= n
+        if full_frame:
+            done_ids = stats.select("qid_")
+        done = topk.join(F.broadcast(done_ids), "qid_", "left_semi")
+        results.append(done.select(F.col("qid_").alias(query_id),
+                                   F.col("nbr_id"), F.col("rank"),
+                                   F.col("dist")))
+        pending = pending.join(F.broadcast(done_ids), "qid_", "left_anti")
+        if full_frame or pending.isEmpty():
+            break
+        ring *= 2
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J7 — zonal stats (raster ↔ vector)
+# ---------------------------------------------------------------------------
+
+ZONAL_SCHEMA = StructType([
+    StructField("zone_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("zmin", LongType()),
+    StructField("zmax", LongType()),
+    StructField("zsum", LongType()),
+    StructField("zcount", LongType()),
+])
+
+
+def _zonal_assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+    first = pdf.iloc[0]
+    rx, ry = int(first.region_x), int(first.region_y)
+    rw, rh = int(first.region_w), int(first.region_h)
+    cw, ch = int(first.chunk_w), int(first.chunk_h)
+    out = np.zeros((rh, rw), dtype=np.uint8)
+    seen = np.zeros((rh, rw), dtype=bool)
+    for row in pdf.itertuples():
+        chunk = K.decode_chunk(bytes(row.blob), int(first.compression),
+                               int(first.predictor), cw, ch)
+        K.clip_chunk_into(out, chunk, cw, ch,
+                          int(row.tile_x) * cw, int(row.tile_y) * ch,
+                          rx, ry, rw, rh)
+        K.clip_chunk_into(seen.view(np.uint8), np.ones_like(chunk), cw, ch,
+                          int(row.tile_x) * cw, int(row.tile_y) * ch,
+                          rx, ry, rw, rh)
+    # pixel centers in map coords (geotransform G8/G10 arithmetic)
+    ox, oy = float(first.origin_x), float(first.origin_y)
+    pw_, ph_ = float(first.pixel_sx), float(first.pixel_sy)
+    cols = ox + (rx + np.arange(rw) + 0.5) * pw_
+    rows_ = oy - (ry + np.arange(rh) + 0.5) * ph_
+    gx, gy = np.meshgrid(cols, rows_)
+    # polygon is in 4326: convert pixel centers if the raster is 3857
+    if int(first.epsg) == 3857:
+        lon, lat = K.webmercator_to_wgs84(gx.ravel(), gy.ravel())
+    else:
+        lon, lat = gx.ravel(), gy.ravel()
+    inside = K.points_in_polygon(
+        lon, lat, np.asarray(first.poly_xs), np.asarray(first.poly_ys)
+    ).reshape(rh, rw) & seen
+    vals = out[inside]
+    if vals.size == 0:
+        return pd.DataFrame([{"zone_id": first.zone_id,
+                              "media_ref": first.media_ref,
+                              "zmin": -1, "zmax": -1, "zsum": 0, "zcount": 0}])
+    return pd.DataFrame([{
+        "zone_id": first.zone_id, "media_ref": first.media_ref,
+        "zmin": int(vals.min()), "zmax": int(vals.max()),
+        "zsum": int(vals.sum(dtype=np.int64)), "zcount": int(vals.size)}])
+
+
+def zonal_stats(zones: DataFrame, catalog: DataFrame,
+                tiles: DataFrame) -> DataFrame:
+    """min/max/sum/count of raster values per (zone polygon, raster).
+
+    Pipeline: zone bbox (from WKT) → region on each raster (G5/G6 dispatch)
+    → tile-key expansion → tile join → decode + PIP mask + partial agg per
+    (zone, raster).  Zones are metadata-small → broadcast through the region
+    resolution; the only wide exchanges are the tile join and the final
+    groupBy.
+    """
+    from . import extract as EX
+    z = zones.withColumn("_coords", wkt_coords_udf(F.col("polygon_wkt")))
+    zq = z.select(
+        F.col("zone_id").alias("query_id"),
+        F.col("_coords.xs").alias("poly_xs"),
+        F.col("_coords.ys").alias("poly_ys"),
+        F.array_min("_coords.xs").alias("minx"),
+        F.array_max("_coords.xs").alias("maxx"),
+        F.array_min("_coords.ys").alias("miny"),
+        F.array_max("_coords.ys").alias("maxy"),
+        F.coalesce(F.col("epsg"), F.lit(4326)).alias("crs"),
+        F.lit(None).cast("double").alias("radius_m"))
+    rasters = catalog.filter(F.col("media_kind") == "raster")
+    # zone × every raster (both metadata-small; the pixel work dominates)
+    zr = zq.crossJoin(F.broadcast(rasters.select("media_ref")))
+    regions = EX.resolve_regions(zr, catalog)
+    keys = EX.expand_tile_keys(regions)
+    joined = EX.join_tiles(keys, tiles, broadcast_keys=True)
+    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
+            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
+            "tile_x", "tile_y", "blob", "origin_x", "origin_y",
+            "pixel_sx", "pixel_sy", "epsg", "poly_xs", "poly_ys"]
+    return (joined.select(*cols)
+            .withColumnRenamed("query_id", "zone_id")
+            .groupBy("zone_id", "media_ref")
+            .applyInPandas(_zonal_assemble, ZONAL_SCHEMA))

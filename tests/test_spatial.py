@@ -1,0 +1,147 @@
+"""Spatial join operators vs brute-force numpy oracles: PIP, kNN (exactness
+certificate), zonal stats, hot-cell salting."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rasterkit_spark import kernels as K
+from rasterkit_spark.fixtures import corpus as CP
+from rasterkit_spark.operators import spatial as SP
+
+RNG = np.random.default_rng(123)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return CP.build_corpus(n_media=12, n_docs=60, n_queries=15)
+
+
+@pytest.fixture(scope="module")
+def points_pdf():
+    n = 3000
+    # clustered + uniform mix, including a Zipf-hot cluster
+    hot = RNG.normal([10.0, 20.0], 0.05, size=(n // 2, 2))
+    uni = np.c_[RNG.uniform(-170, 170, n // 2), RNG.uniform(-80, 80, n // 2)]
+    pts = np.vstack([hot, uni])
+    return pd.DataFrame({"id": [f"p{i:05d}" for i in range(n)],
+                         "lon": pts[:, 0], "lat": pts[:, 1]})
+
+
+def test_pip_join_matches_bruteforce(spark, corpus, points_pdf):
+    # add points clustered around each zone centroid so PIP has hits
+    extra = []
+    for z in corpus.zones.itertuples():
+        xs, ys = SP.parse_wkt_polygon(z.polygon_wkt)
+        cx, cy = np.mean(xs), np.mean(ys)
+        r = max(max(xs) - min(xs), max(ys) - min(ys))
+        pts = RNG.normal([cx, cy], r, size=(50, 2))
+        extra.append(pd.DataFrame({
+            "id": [f"z{z.zone_id}_{i}" for i in range(50)],
+            "lon": pts[:, 0], "lat": pts[:, 1]}))
+    points_pdf = pd.concat([points_pdf] + extra, ignore_index=True)
+    points = spark.createDataFrame(points_pdf)
+    zones = spark.createDataFrame(corpus.zones)
+    got = SP.pip_join(points, zones, "id", "lon", "lat",
+                      "zone_id", "polygon_wkt", res=8).toPandas()
+    got_pairs = set(zip(got.point_id, got.poly_id))
+    want_pairs = set()
+    for z in corpus.zones.itertuples():
+        xs, ys = SP.parse_wkt_polygon(z.polygon_wkt)
+        inside = K.points_in_polygon(points_pdf.lon.values,
+                                     points_pdf.lat.values,
+                                     np.array(xs), np.array(ys))
+        for pid in points_pdf.id.values[inside]:
+            want_pairs.add((pid, z.zone_id))
+    assert got_pairs == want_pairs
+    assert len(want_pairs) > 0
+
+
+@pytest.mark.parametrize("k", [1, 5])
+def test_knn_join_exact(spark, points_pdf, k):
+    queries = pd.DataFrame({
+        "qid": [f"q{i}" for i in range(40)],
+        "lon": np.r_[RNG.uniform(-170, 170, 30), RNG.normal(10.0, 0.1, 10)],
+        "lat": np.r_[RNG.uniform(-80, 80, 30), RNG.normal(20.0, 0.1, 10)],
+    })
+    got = SP.knn_join(spark.createDataFrame(points_pdf),
+                      spark.createDataFrame(queries), k,
+                      point_id="id", query_id="qid",
+                      x_col="lon", y_col="lat", res=6).toPandas()
+    # brute force oracle
+    px = points_pdf.lon.values[None, :]
+    py = points_pdf.lat.values[None, :]
+    qx = queries.lon.values[:, None]
+    qy = queries.lat.values[:, None]
+    d = np.sqrt((px - qx) ** 2 + (py - qy) ** 2)
+    ids = np.array(points_pdf.id.values)
+    for qi, qid in enumerate(queries.qid):
+        # oracle order: (dist, id) lexicographic — matches the join's tie-break
+        order = sorted(range(d.shape[1]), key=lambda j: (d[qi, j], ids[j]))[:k]
+        want = [ids[j] for j in order]
+        sub = got[got.qid == qid].sort_values("rank")
+        assert list(sub.nbr_id) == want, qid
+        np.testing.assert_allclose(sub.dist.values,
+                                   [d[qi, j] for j in order], rtol=1e-12)
+
+
+def test_knn_every_query_answered(spark, points_pdf):
+    queries = pd.DataFrame({"qid": ["lonely"], "lon": [179.9], "lat": [-89.9]})
+    got = SP.knn_join(spark.createDataFrame(points_pdf),
+                      spark.createDataFrame(queries), 3,
+                      point_id="id", query_id="qid",
+                      x_col="lon", y_col="lat", res=6).toPandas()
+    assert len(got) == 3  # corner query still resolves via ring growth
+
+
+def test_zonal_stats_matches_oracle(spark, corpus):
+    sdfs = corpus.to_spark(spark, ["zones", "media_catalog", "tiles"])
+    got = SP.zonal_stats(sdfs["zones"], sdfs["media_catalog"],
+                         sdfs["tiles"]).toPandas()
+    assert len(got) > 0
+    cat = corpus.media_catalog.set_index("media_ref", drop=False)
+    checked = 0
+    for row in got.itertuples():
+        c = cat.loc[row.media_ref]
+        z = corpus.zones[corpus.zones.zone_id == row.zone_id].iloc[0]
+        xs, ys = SP.parse_wkt_polygon(z.polygon_wkt)
+        # oracle: region from kernels, mask on ground-truth pixels
+        minx, maxx = min(xs), max(xs)
+        miny, maxy = min(ys), max(ys)
+        rx, ry, rw, rh = (int(v) for v in K.generic_crs_to_pixel_region(
+            minx, miny, maxx, maxy, c.origin_x, c.pixel_sx, c.origin_y,
+            -c.pixel_sy, c.width, c.height, 4326, int(c.epsg), None))
+        img = corpus.pixels[row.media_ref][0]
+        win = img[ry:ry + rh, rx:rx + rw]
+        gx = c.origin_x + (rx + np.arange(win.shape[1]) + 0.5) * c.pixel_sx
+        gy = c.origin_y - (ry + np.arange(win.shape[0]) + 0.5) * c.pixel_sy
+        mx, my = np.meshgrid(gx, gy)
+        if int(c.epsg) == 3857:
+            lon, lat = K.webmercator_to_wgs84(mx.ravel(), my.ravel())
+        else:
+            lon, lat = mx.ravel(), my.ravel()
+        inside = K.points_in_polygon(lon, lat, np.array(xs),
+                                     np.array(ys)).reshape(win.shape)
+        vals = win[inside]
+        if vals.size:
+            assert (row.zmin, row.zmax, row.zsum, row.zcount) == (
+                int(vals.min()), int(vals.max()),
+                int(vals.sum(dtype=np.int64)), int(vals.size)), (
+                row.zone_id, row.media_ref)
+            checked += 1
+        else:
+            assert row.zcount == 0
+    assert checked > 0
+
+
+def test_hot_cell_salting(spark, points_pdf):
+    pts = SP.index_points(spark.createDataFrame(points_pdf), "lon", "lat", 8)
+    hot = SP.hot_cells(pts, threshold=500)
+    assert hot.count() >= 1  # the clustered blob is hot
+    salted = SP.add_salt(pts, "cell", hot, n_salt=8)
+    dist = (salted.join(F.broadcast(hot), "cell", "left_semi")
+            .groupBy("cell", "salt").count().toPandas())
+    # hot cell fan-out actually spreads rows over several salts
+    assert dist.salt.nunique() >= 4
+    assert salted.count() == pts.count()
