@@ -114,10 +114,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
 def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column:
     """Array of ``n_hashes`` minhash values over character shingles.
 
-    Permutation family: h_k(s) = (a_k·md5int(s) + b_k) mod M61 with fixed
-    odd constants — deterministic and replayable in SQL."""
+    Permutation family: h_k(s) = (a_k·md5int48(s) + b_k) mod M61 with fixed
+    odd constants — deterministic and replayable in SQL.  The base hash is
+    48-bit (12 md5 hex digits) so a_k·h stays < 2^54: no int64 overflow in
+    either engine (Spark 4 runs ANSI mode — overflow would abort)."""
     base = F.transform(F.array_distinct(shingles(text, shingle_n)),
-                       lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                       lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
                                   .cast("long"))
     sigs = []
     for k in range(n_hashes):

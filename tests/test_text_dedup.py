@@ -1,0 +1,177 @@
+"""Text analysis, dedup, similarity, and multimodal plumbing tests against
+brute-force / driver-provided-data oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rasterkit_spark.operators import dedup as DD
+from rasterkit_spark.operators import multimodal as MM
+from rasterkit_spark.operators import similarity as SIM
+from rasterkit_spark.operators import text as TX
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark, documents):
+    """Documents plus perturbed copies → known near-dup pairs."""
+    base = documents.limit(30).toPandas()
+    rows = []
+    for r in base.itertuples():
+        rows.append({"doc_id": int(r.doc_id), "text": r.text})
+        rows.append({"doc_id": int(r.doc_id) + 100000,
+                     "text": r.text + " extra tail"})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_token_count_matches_python(spark, documents):
+    got = TX.token_count(documents).toPandas().set_index("doc_id")
+    pdf = documents.select("doc_id", "text").toPandas()
+    for r in pdf.itertuples():
+        want = len(r.text.split()) if r.text.strip() else 0
+        assert got.loc[r.doc_id, "ws_tokens"] == want, r.doc_id
+
+
+def test_quality_score_sane(spark, documents):
+    got = TX.quality_score(documents).toPandas()
+    assert got.quality_score.between(25, 100).all()
+    assert (got.ws_tokens > 0).all()
+
+
+def test_lang_id_runs_and_en_docs_lean_en(spark, documents):
+    got = TX.lang_id(documents).toPandas()
+    # synthetic corpus text is English-word based → 'the'/'a' markers hit
+    assert (got.lang_pred == "en").mean() > 0.5
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["ab cd", "cd ab", "ab cd"]}))
+    got = TX.doc_fingerprint(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "fingerprint"] == got.loc[3, "fingerprint"]
+    assert got.loc[1, "fingerprint"] != got.loc[2, "fingerprint"]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["same text", "same text", "other", "same text"]}))
+    got = DD.exact_dedup(df).toPandas()
+    assert len(got) == 2
+    dup = got[got.dup_count == 3]
+    assert dup.iloc[0].rep_id == "a"
+    pairs = DD.exact_dup_pairs(df).toPandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == {("a", "b"), ("a", "d"),
+                                                ("b", "d")}
+
+
+def _brute_jaccard_pairs(pdf, n, threshold):
+    def sh(t):
+        return {t[i:i + n] for i in range(max(len(t) - n + 1, 1))}
+
+    out = set()
+    sets = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and int(inter * 1e6 / uni) >= threshold * 1e6:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, near_dup_docs):
+    got = DD.ngram_jaccard_pairs(near_dup_docs, 0.7, n=5).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    want = _brute_jaccard_pairs(near_dup_docs.toPandas(), 5, 0.7)
+    assert got_pairs == want
+    assert len(want) >= 20  # the perturbed copies are near-dups
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_dup_docs):
+    got = DD.minhash_lsh_pairs(near_dup_docs, 0.7).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    want = _brute_jaccard_pairs(near_dup_docs.toPandas(), 5, 0.7)
+    # LSH may miss pairs (recall<1) but must never invent them (precision=1)
+    assert got_pairs <= want
+    assert len(got_pairs) >= 0.9 * len(want)
+
+
+def test_simhash_pairs(spark, near_dup_docs):
+    got = DD.simhash_pairs(near_dup_docs, max_hamming=6).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    # every original/perturbed pair should be hamming-close
+    base_ids = [r.id_a for r in got.itertuples()]
+    assert len(pairs) >= 15
+    assert (got.hamming <= 6).all()
+
+
+def test_embedding_dup_pairs_verified(spark, embeddings):
+    e = embeddings.limit(120)
+    got = DD.embedding_dup_pairs(e, 0.95, n_planes=6).toPandas()
+    # verify every emitted pair with numpy cosine
+    pdf = e.toPandas().set_index("vec_id")
+    for r in got.itertuples():
+        va = np.array(pdf.loc[r.id_a, "embedding"], dtype=np.float64)
+        vb = np.array(pdf.loc[r.id_b, "embedding"], dtype=np.float64)
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert int(np.floor(cos * 1e6)) >= int(0.95 * 1e6)
+        assert int(np.floor(cos * 1e6)) == r.cos_e6
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    e = embeddings.limit(200).cache()
+    q = e.limit(10).select(F.col("vec_id").alias("qid"), "embedding")
+    got = SIM.cosine_topk(e, q, 5).toPandas()
+    pdf = e.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    qpdf = q.toPandas()
+    for r in qpdf.itertuples():
+        qv = np.array(r.embedding, dtype=np.float64)
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        cos_e6 = np.floor(cos * 1e6).astype(np.int64)
+        order = sorted(range(len(pdf)),
+                       key=lambda i: (-cos_e6[i], pdf.vec_id[i]))[:5]
+        want = [pdf.vec_id[i] for i in order]
+        sub = got[got.qid == r.qid].sort_values("rank")
+        assert list(sub.nbr_id) == want, r.qid
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    e = embeddings.cache()
+    q = e.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = SIM.cosine_topk(e, q, 10)
+    approx = SIM.ivf_topk(e, q, 10, n_lists=8, nprobe=4)
+    rec = SIM.recall_at_k(exact, approx, 10)
+    assert rec >= 0.7, rec
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_ref": ["i1", "i2"],
+        "blob": [bytearray(MM.pack_fake_image(64, 48)),
+                 bytearray(MM.pack_fake_image(128, 96))]}))
+    meta = MM.decode_image_meta(media).toPandas().set_index("media_ref")
+    assert (meta.loc["i1", "width"], meta.loc["i1", "height"]) == (64, 48)
+    feats = MM.image_features(media, dim=16).toPandas()
+    assert all(len(f) == 16 for f in feats.feature)
+    resized = MM.resize_images(media, 32, 32).toPandas()
+    assert (resized.width == 32).all()
+    video = spark.createDataFrame(pd.DataFrame({
+        "media_ref": ["v1"], "blob": [bytearray(b"x" * 4096 * 25)]}))
+    frames = MM.sample_video_frames(video, every_n=10).toPandas()
+    assert list(frames.frame_idx) == [0, 10, 20]
