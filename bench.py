@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling protocol).
+
+Default mode: run the headline queries once on ``local[$SPARK_GRAFT_CPUS]``
+against ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+``--scaling`` mode (BASELINE.md two-parallelism protocol): run the identical
+workload in two subprocesses at local[8] and local[32] on the same input and
+write throughputs + efficiency = (throughput_32/throughput_8)/4 to
+BENCH/BASELINE.md.  This evidences the north_rule's N→4N ≥ 0.8 criterion in
+a sandbox with no real cluster.
+
+Headline queries (BASELINE.md): flagship bbox extraction over the synthetic
+tile corpus, point-in-polygon join (with the Zipf-hot cell the corpus
+builds in), kNN join, raster↔vector zonal stats, MinHash near-dup pairs,
+and exact cosine top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _rows(df) -> int:
+    return df.count()
+
+
+def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import dedup as DD
+    from rasterkit_spark.operators import extract as EX
+    from rasterkit_spark.operators import similarity as SIM
+    from rasterkit_spark.operators import spatial as SP
+
+    results: dict[str, dict] = {}
+
+    def bench(name, fn, units):
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        results[name] = dict(sec=dt, rows=int(n),
+                             throughput=float(units) / dt, units=int(units))
+
+    # ---- corpus-backed raster benches (seeded, deterministic) ----
+    c = CP.build_corpus(n_media=32, n_docs=400, n_queries=120)
+    sdfs = c.to_spark(spark)
+    for k in ("media_catalog", "tiles", "queries_bbox", "zones"):
+        sdfs[k] = sdfs[k].cache()
+        sdfs[k].count()
+
+    n_tiles = sdfs["tiles"].count()
+    bench("extract_windows",
+          lambda: _rows(EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                                   sdfs["tiles"])),
+          units=n_tiles)
+
+    from rasterkit_spark.operators import spatial as _sp
+    bench("zonal_stats",
+          lambda: _rows(_sp.zonal_stats(sdfs["zones"], sdfs["media_catalog"],
+                                        sdfs["tiles"])),
+          units=n_tiles)
+
+    # ---- spatial joins over derived points (big relational tables) ----
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        (((F.col("l_orderkey") * 37 + F.col("l_linenumber")) % 3600) / 10.0
+         - 180.0 + 0.05).alias("lon"),
+        (((F.col("l_orderkey") * 91 + F.col("l_linenumber")) % 1700) / 10.0
+         - 85.0 + 0.05).alias("lat")).cache()
+    n_pts = pts.count()
+
+    zones_pdf = []
+    rng = np.random.default_rng(7)
+    for z in range(40):
+        cx, cy = float(rng.uniform(-150, 150)), float(rng.uniform(-70, 70))
+        r = float(rng.uniform(2, 12))
+        ring = [(cx + r * np.cos(t), cy + r * np.sin(t))
+                for t in np.linspace(0, 2 * np.pi, 9)[:-1]]
+        wkt = ("POLYGON((" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in ring)
+               + f", {ring[0][0]:.6f} {ring[0][1]:.6f}))")
+        zones_pdf.append(dict(zone_id=f"z{z}", polygon_wkt=wkt))
+    zones = spark.createDataFrame(pd.DataFrame(zones_pdf))
+
+    bench("pip_join",
+          lambda: _rows(SP.pip_join(pts, zones, "id", "lon", "lat",
+                                    "zone_id", "polygon_wkt", res=7)),
+          units=n_pts)
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    kpts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 37) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+        (((F.col("c_custkey") * 91) % 1700) / 10.0 - 85.0 + 0.05).alias("lat"))
+    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    kq = supp.select(
+        F.col("s_suppkey").alias("qid"),
+        (((F.col("s_suppkey") * 53) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+        (((F.col("s_suppkey") * 17) % 1700) / 10.0 - 85.0 + 0.05).alias("lat"))
+    n_kq = kq.count()
+    bench("knn_join",
+          lambda: _rows(SP.knn_join(kpts, kq, 10, point_id="id",
+                                    query_id="qid", x_col="lon", y_col="lat",
+                                    res=5)),
+          units=n_kq)
+
+    # ---- dedup over an amplified documents corpus ----
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    amplified = docs.crossJoin(spark.range(8).select(F.col("id").alias("rep"))) \
+        .select((F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+                F.when(F.col("rep") == 0, F.col("text"))
+                 .otherwise(F.concat(F.col("text"), F.lit(" tail"),
+                                     F.col("rep").cast("string"))).alias("text"))
+    n_docs = amplified.count()
+    bench("minhash_dedup",
+          lambda: _rows(DD.minhash_lsh_pairs(amplified, 0.8, n_hashes=32,
+                                             bands=16)),
+          units=n_docs)
+
+    # ---- similarity over an amplified embeddings corpus ----
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bigemb = emb.crossJoin(spark.range(6).select(F.col("id").alias("rep"))) \
+        .select((F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: x + F.col("rep") * 0.01).alias("embedding"))
+    qe = emb.filter("vec_id % 25 = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    n_emb = bigemb.count()
+    bench("cosine_topk",
+          lambda: _rows(SIM.cosine_topk(bigemb, qe, 10)),
+          units=n_emb)
+
+    return results
+
+
+def run_once(cpus: str, sf_dir: str) -> dict:
+    from rasterkit_spark.session import get_spark
+    spark = get_spark("rasterkit-bench", cores=cpus)
+    t0 = time.time()
+    queries = run_benchmarks(spark, sf_dir)
+    total = time.time() - t0
+    spark.stop()
+    return dict(total=total, queries=queries)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    if "--scaling" in sys.argv:
+        _scaling_protocol(sf_dir, sf)
+        return
+    if "--child" in sys.argv:
+        out = run_once(cpus, sf_dir)
+        print("CHILD_JSON:" + json.dumps(out))
+        return
+
+    out = run_once(cpus, sf_dir)
+    line = dict(
+        metric="spatial_join_tile_extraction_wall_sec",
+        value=round(out["total"], 3), unit="sec",
+        queries={k: round(v["sec"], 3) for k, v in out["queries"].items()},
+        sf=sf,
+        throughput={k: round(v["throughput"], 1)
+                    for k, v in out["queries"].items()},
+        cpus=int(cpus),
+    )
+    print(json.dumps(line))
+
+
+def _scaling_protocol(sf_dir: str, sf: float) -> None:
+    """local[8] vs local[32] on identical input → BENCH/BASELINE.md."""
+    runs = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        p = subprocess.run([sys.executable, __file__, "--child"],
+                           capture_output=True, text=True, env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        for ln in p.stdout.splitlines():
+            if ln.startswith("CHILD_JSON:"):
+                runs[cpus] = json.loads(ln[len("CHILD_JSON:"):])
+                break
+        else:
+            sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
+            raise SystemExit(f"child local[{cpus}] produced no result")
+
+    lines = ["# BENCH/BASELINE.md — measured numbers",
+             "",
+             f"Input: `{sf_dir}` (sf={sf}), identical seeded workload, "
+             "two-parallelism protocol (no real cluster in sandbox; "
+             "BASELINE.json north_rule evidenced as local[8] vs local[32]).",
+             "",
+             "| query | local[8] sec | local[32] sec | thr@8 (units/s) | "
+             "thr@32 (units/s) | speedup | efficiency (speedup/4) |",
+             "|---|---|---|---|---|---|---|"]
+    effs = []
+    for name in runs["8"]["queries"]:
+        q8 = runs["8"]["queries"][name]
+        q32 = runs["32"]["queries"][name]
+        speedup = q8["sec"] / q32["sec"]
+        eff = speedup / 4.0
+        effs.append((name, eff))
+        lines.append(
+            f"| {name} | {q8['sec']:.2f} | {q32['sec']:.2f} | "
+            f"{q8['throughput']:.0f} | {q32['throughput']:.0f} | "
+            f"{speedup:.2f}x | {eff:.2f} |")
+    tot8, tot32 = runs["8"]["total"], runs["32"]["total"]
+    total_eff = (tot8 / tot32) / 4.0
+    lines += ["",
+              f"**Total wall: local[8] {tot8:.1f}s, local[32] {tot32:.1f}s — "
+              f"overall speedup {tot8 / tot32:.2f}x, efficiency "
+              f"{total_eff:.2f}** (target ≥ 0.8 per BASELINE.json; "
+              "local-mode caveat: a single JVM under-reports scaling vs "
+              "true executors because the driver, GC and Python workers "
+              "share the same cores).",
+              ""]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(dict(metric="scaling_efficiency", value=round(total_eff, 3),
+                          unit="ratio", queries={n: round(e, 3) for n, e in effs},
+                          sf=sf)))
+
+
+if __name__ == "__main__":
+    main()

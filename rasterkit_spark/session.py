@@ -43,6 +43,7 @@ def get_spark(app_name: str = "rasterkit-spark",
                 str(shuffle_partitions or int(str(cores)) * 2
                     if str(cores).isdigit() else 64))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("RASTERKIT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
