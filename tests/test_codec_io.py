@@ -1,0 +1,145 @@
+"""TIFF codec, colormap sources/sinks, string utils, array sinks."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rasterkit_spark.functions import strings as S
+from rasterkit_spark.io import tiffcodec as TC
+from rasterkit_spark.operators import colormap_io as CIO
+from rasterkit_spark.operators import sinks as SK
+
+
+def test_tiff_write_read_roundtrip():
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    buf = TC.write_tiff(img, extra_entries=[
+        TC.Entry(TC.TAG_PIXEL_SCALE, TC.T_DOUBLE, [2.0, 2.0, 0.0]),
+        TC.Entry(TC.TAG_TIEPOINT, TC.T_DOUBLE, [0, 0, 0, 100.0, 200.0, 0]),
+        TC.Entry(TC.TAG_GDAL_NODATA, TC.T_ASCII, ["255"])])
+    ifds, bo, big = TC.read_tiff(buf)
+    assert bo == "<" and not big and len(ifds) == 1
+    ifd = ifds[0]
+    assert ifd.get(TC.TAG_WIDTH) == 8
+    assert ifd.get(TC.TAG_HEIGHT) == 6
+    assert ifd.get(TC.TAG_ROWS_PER_STRIP) == 6       # single strip (K2)
+    assert ifd.entries[TC.TAG_PIXEL_SCALE].values == [2.0, 2.0, 0.0]
+    assert ifd.entries[TC.TAG_GDAL_NODATA].values == ["255"]
+    off = ifd.get(TC.TAG_STRIP_OFFSETS)
+    count = ifd.get(TC.TAG_STRIP_BYTE_COUNTS)
+    assert off % 4 == 0  # 4-byte alignment (write_utils.rs:15-34)
+    assert np.array_equal(
+        np.frombuffer(buf[off:off + count], dtype=np.uint8).reshape(6, 8), img)
+
+
+def test_tiff_big_endian_and_format_detect():
+    img = np.zeros((2, 2), dtype=np.uint8)
+    buf = TC.write_tiff(img, byte_order=">")
+    assert buf[:2] == b"MM"
+    ifds, bo, big = TC.read_tiff(buf)
+    assert bo == ">" and ifds[0].get(TC.TAG_WIDTH) == 2
+    with pytest.raises(ValueError, match="byte order"):
+        TC.detect_byte_order(b"XX\x00*")
+    with pytest.raises(ValueError, match="version"):
+        TC.detect_format(b"II\x2c\x00....")
+
+
+def test_unique_sorted_entries_keeps_last():
+    es = [TC.Entry(259, TC.T_SHORT, [1]), TC.Entry(256, TC.T_LONG, [10]),
+          TC.Entry(259, TC.T_SHORT, [8])]
+    out = TC.unique_sorted_entries(es)
+    assert [e.tag for e in out] == [256, 259]
+    assert out[1].values == [8]  # keep-last (write_utils.rs:41-61)
+
+
+def test_colormap_sld_roundtrip():
+    pdf = pd.DataFrame([
+        dict(cmap_id="c", map_type="ramp", value=0, r=0, g=0, b=255, label="low"),
+        dict(cmap_id="c", map_type="ramp", value=100, r=255, g=0, b=0,
+             label="a<b&c")])
+    sld = CIO.colormap_to_sld(pdf, "lyr")
+    assert 'type="ramp"' in sld and "&lt;" in sld and "&amp;" in sld
+    back = CIO.colormap_from_sld(sld, "c")
+    assert list(back.value) == [0, 100]
+    assert list(back.r) == [0, 255]
+    # the reference's attr scrape keeps raw (escaped) text — replicated
+    # (src/tiff/colormap.rs:940-951 does no entity decoding)
+    assert back.label.iloc[1] == "a&lt;b&amp;c"
+
+
+def test_colormap_csv_variants():
+    text = "# comment\n0,#0000FF\n50,#FF0000,hot\n100,1,2,3\n200,4,5,6,label6\n"
+    pdf = CIO.colormap_from_csv(text)
+    assert list(pdf.value) == [0, 50, 100, 200]
+    assert (pdf.iloc[1].r, pdf.iloc[1].g, pdf.iloc[1].b) == (255, 0, 0)
+    assert pdf.iloc[3].label == "label6"
+
+
+def test_colormap_tiff_palette():
+    n = 8
+    pal = np.zeros(3 * n, dtype=np.uint32)
+    pal[0:n] = [0, 0, 257 * 10, 257 * 20, 257 * 30, 0, 257 * 40, 257 * 50]
+    pdf = CIO.colormap_from_tiff_palette(pal)
+    assert pdf.value.iloc[0] == 2  # leading black trimmed
+    assert pdf.r.iloc[0] == 10
+
+
+def test_colormap_sniffing():
+    sld = '<ColorMap type="values"><ColorMapEntry color="#010203" quantity="5"/></ColorMap>'
+    assert list(CIO.read_colormap("x.bin", sld).value) == [5]
+    assert list(CIO.read_colormap("x.bin", "7,#040506").value) == [7]
+
+
+def test_string_utils():
+    assert S.parse_bbox_str("1, 2,3 ,4") == (1.0, 2.0, 3.0, 4.0)
+    assert S.parse_filter_range("15,160") == (15, 160)
+    with pytest.raises(ValueError, match="greater than max"):
+        S.parse_filter_range("200,100")
+    assert S.hex_to_rgb("#A1B2C3") == (161, 178, 195)
+    assert S.rgb_to_hex(161, 178, 195) == "#A1B2C3"
+    assert S.xml_attr('<E color="#fff" label="x"/>', "label") == "x"
+    assert S.epsg_description(32633) == "WGS 84 / UTM zone 33N"
+    assert S.tag_name(33550) == "ModelPixelScaleTag"
+    xml = "<GDALMetadata><Item name=\"NODATA_VALUES\">0</Item></GDALMetadata>"
+    out = S.replace_gdal_metadata_item(xml, "NODATA_VALUES", "255")
+    assert ">255<" in out and out.count("<Item") == 1
+
+
+def test_array_sinks():
+    win = np.array([[1, 2], [3, 255]], dtype=np.uint8)
+    csv = SK.window_to_csv(win)
+    assert csv.splitlines()[0] == "row/col,0,1"
+    assert csv.splitlines()[2] == "1,3,255"
+    j = json.loads(SK.window_to_json(win))
+    assert j == {"width": 2, "height": 2, "data": [[1, 2], [3, 255]]}
+    import io
+    loaded = np.load(io.BytesIO(SK.window_to_npy(win)))
+    assert loaded.dtype == np.uint8 and np.array_equal(loaded, win)
+    assert SK.ensure_png_extension("/a/b/out.tif") == "/a/b/out.png"
+    assert SK.ensure_png_extension("x.png") == "x.png"
+
+
+def test_render_windows_distributed(spark):
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import extract as EX
+    c = CP.build_corpus(n_media=6, n_docs=10, n_queries=6)
+    sdfs = c.to_spark(spark, ["queries_bbox", "media_catalog", "tiles"])
+    wins = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                      sdfs["tiles"])
+    out = SK.render_windows(wins, "json").toPandas()
+    assert len(out) > 0
+    rec = json.loads(bytes(out.iloc[0].payload).decode())
+    assert set(rec) == {"width", "height", "data"}
+
+
+def test_reproject_metadata_and_lod(spark):
+    from pyspark.sql import functions as F
+    from rasterkit_spark.fixtures import corpus as CP
+    c = CP.build_corpus(n_media=6, n_docs=5, n_queries=5)
+    cat = spark.createDataFrame(c.media_catalog)
+    re = CIO.reproject_metadata(cat, 3857).toPandas()
+    assert (re.epsg == 3857).all()
+    assert "source_epsg" in re.columns
+    lvl = cat.select(CIO.select_level(cat, F.lit(1000.0)).alias("lvl")).toPandas()
+    assert lvl.lvl.between(0, 2).all()
