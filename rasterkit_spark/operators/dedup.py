@@ -159,21 +159,19 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     cand = (a.join(b, ["band", "bsig"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").dropDuplicates())
-    # exact verification restricted to candidate pairs: inverted-index join
-    # over only the docs that appear in some candidate (semi-join pruning)
+    # exact verification driven BY the candidate pairs — never a raw
+    # shingle self-join (hot shingles in low-entropy corpora would make
+    # that quadratic): cand ⋈ shingles(id_a) ⋈ shingles on (id_b, shingle),
+    # so fan-out is |cand|·|shingles per doc|, independent of shingle heat.
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n)))
          .alias("shingle"))
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
-    ids = cand.select(F.col("id_a").alias("id")).union(
-        cand.select(F.col("id_b").alias("id"))).distinct()
-    tok_c = tok.join(F.broadcast(ids), "id", "left_semi")
-    aa = tok_c.select(F.col("id").alias("id_a"), "shingle")
-    bb = tok_c.select(F.col("id").alias("id_b"), "shingle")
-    shared = (aa.join(bb, "shingle")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .join(cand, ["id_a", "id_b"], "left_semi")
+    tok_a = tok.select(F.col("id").alias("id_a"), "shingle")
+    tok_b = tok.select(F.col("id").alias("id_b"), "shingle")
+    shared = (cand.join(tok_a, "id_a")
+              .join(tok_b, ["id_b", "shingle"])
               .groupBy("id_a", "id_b").agg(F.count("*").alias("shared")))
     j = (shared
          .join(sizes.select(F.col("id").alias("id_a"),
