@@ -111,16 +111,23 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column:
-    """Array of ``n_hashes`` minhash values over character shingles.
-
-    Permutation family: h_k(s) = (a_k·md5int48(s) + b_k) mod M61 with fixed
-    odd constants — deterministic and replayable in SQL.  The base hash is
-    48-bit (12 md5 hex digits) so a_k·h stays < 2^54: no int64 overflow in
-    either engine (Spark 4 runs ANSI mode — overflow would abort)."""
-    base = F.transform(F.array_distinct(shingles(text, shingle_n)),
+def shingle_hashes(text: Column, shingle_n: int = 5) -> Column:
+    """Distinct 48-bit md5 shingle hashes (12 hex digits → no int64
+    overflow when multiplied by small permutation constants; Spark 4 runs
+    ANSI mode where overflow aborts)."""
+    return F.transform(F.array_distinct(shingles(text, shingle_n)),
                        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
                                   .cast("long"))
+
+
+def minhash_sigs_from_hashes(base: Column, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` minhash values from a *materialized* hash
+    array column.  Callers MUST pass a plain column reference (compute
+    ``shingle_hashes`` in a prior projection): inlining the md5 transform
+    here would re-evaluate it once per permutation — n_hashes× the cost.
+
+    Permutation family: h_k(s) = ((2k+1)·h + 104729·(k+1)) mod M61 —
+    deterministic and replayable in SQL."""
     sigs = []
     for k in range(n_hashes):
         a = 2 * k + 1
@@ -128,6 +135,12 @@ def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column
         sigs.append(F.array_min(F.transform(
             base, lambda h: (h * a + b) % MERSENNE_61)))
     return F.array(*sigs)
+
+
+def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column:
+    """Convenience one-shot signature (prefer the two-step flavor above in
+    hot paths)."""
+    return minhash_sigs_from_hashes(shingle_hashes(text, shingle_n), n_hashes)
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float,
@@ -142,8 +155,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     :func:`ngram_jaccard_pairs` semantics, so precision is exact; recall is
     1−(1−s^r)^b (≈1 for near-dups at these defaults)."""
     rows = n_hashes // bands
-    sig = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")) \
-        .withColumn("sig", minhash_signature(F.col("t"), n_hashes, shingle_n))
+    # two-step: materialize shingle hashes once, then all permutations read
+    # the column (md5 evaluated once per doc, not once per permutation)
+    sig = docs.select(F.col(id_col).alias("id"),
+                      shingle_hashes(F.col(text_col), shingle_n).alias("hs")) \
+        .select("id", minhash_sigs_from_hashes(F.col("hs"), n_hashes)
+                .alias("sig"))
     bands_df = sig.select(
         "id",
         F.explode(F.array(*[

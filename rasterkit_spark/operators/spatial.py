@@ -215,16 +215,21 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         F.col(x_col).alias("px"), F.col(y_col).alias("py"),
         ix.alias("pix"), iy.alias("piy"))
     pts = pts.withColumn("pcell", F.col("pix") * n + F.col("piy")).cache()
+    n_points = pts.count()  # materializes the cache; also sizes ring₀
 
     qix, qiy = _eq_cell(F.col(x_col), F.col(y_col), res, lo_x, span_x, lo_y, span_y)
     pending = queries.select(
         F.col(query_id).alias("qid_"),
         F.col(x_col).alias("qx"), F.col(y_col).alias("qy"),
-        qix.alias("qix"), qiy.alias("qiy"))
+        qix.alias("qix"), qiy.alias("qiy")).localCheckpoint(eager=True)
 
     from pyspark.sql import Window
     results = []
-    ring = 1
+    # ring₀ from density: expect ~k candidates inside the first block, so
+    # most queries certify in one or two rounds instead of log(max_ring)
+    density = max(n_points / float(n * n), 1e-12)
+    import math as _math
+    ring = max(1, min(n, int(_math.ceil((_math.sqrt(k / density) - 1) / 2))))
     for _ in range(max_rounds):
         side = 2 * ring + 1
         offs = F.sequence(F.lit(0), F.lit(side * side - 1))
@@ -255,13 +260,17 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         if full_frame:
             done_ids = stats.select("qid_")
         done = topk.join(F.broadcast(done_ids), "qid_", "left_semi")
+        # localCheckpoint truncates the per-round lineage: without it every
+        # later round re-executes all earlier joins/windows from scratch
         results.append(done.select(F.col("qid_").alias(query_id),
                                    F.col("nbr_id"), F.col("rank"),
-                                   F.col("dist")))
-        pending = pending.join(F.broadcast(done_ids), "qid_", "left_anti")
+                                   F.col("dist")).localCheckpoint(eager=True))
+        pending = pending.join(F.broadcast(done_ids), "qid_", "left_anti") \
+                         .localCheckpoint(eager=True)
         if full_frame or pending.isEmpty():
             break
         ring *= 2
+    pts.unpersist()
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
