@@ -12,7 +12,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as ENTRY  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _duck():

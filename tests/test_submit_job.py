@@ -1,0 +1,53 @@
+"""End-to-end spark-submit packaging test: build the zip, run the extract
+job via the packaged entry point (with and without resume), verify output
+matches the in-process pipeline."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_package_zip_builds():
+    sys.path.insert(0, os.path.join(ROOT, "jobs"))
+    import package
+    out = package.build(os.path.join(tempfile.mkdtemp(), "eng.zip"))
+    import zipfile
+    names = zipfile.ZipFile(out).namelist()
+    assert "rasterkit_spark/kernels.py" in names
+    assert "rasterkit_spark/operators/extract.py" in names
+
+
+@pytest.mark.slow
+def test_run_job_extract_resumable(spark, tmp_path):
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import extract as EX
+
+    c = CP.build_corpus(n_media=8, n_docs=10, n_queries=10)
+    sdfs = c.to_spark(spark, ["queries_bbox", "media_catalog", "tiles"])
+    paths = {}
+    for k, df in sdfs.items():
+        p = str(tmp_path / k)
+        df.write.parquet(p)
+        paths[k] = p
+    out = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "run_job.py"),
+         "--job", "extract", "--queries", paths["queries_bbox"],
+         "--catalog", paths["media_catalog"], "--tiles", paths["tiles"],
+         "--out", out, "--resume-id", "t1",
+         "--base-dir", str(tmp_path / "ckpt"), "--buckets", "4"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out)
+    want = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                      sdfs["tiles"])
+    assert got.count() == want.count()
+    g = {(r.query_id, r.window_sha256) for r in got.collect()}
+    w = {(r.query_id, r.window_sha256) for r in want.collect()}
+    assert g == w
