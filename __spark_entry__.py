@@ -23,7 +23,10 @@ tests/test_entry_oracle.py running this exact comparison at sf0.001):
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

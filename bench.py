@@ -180,21 +180,34 @@ def main() -> None:
 
 
 def _scaling_protocol(sf_dir: str, sf: float) -> None:
-    """local[8] vs local[32] on identical input → BENCH/BASELINE.md."""
+    """local[8] vs local[32] on identical input → BENCH/BASELINE.md.
+
+    ``--assemble f8.json f32.json`` skips the subprocess runs and builds the
+    report from previously captured CHILD_JSON payloads (lets the two runs
+    happen under separate time budgets)."""
     runs = {}
-    for cpus in ("8", "32"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
-                   SPARK_GRAFT_SF_DIR=sf_dir)
-        p = subprocess.run([sys.executable, __file__, "--child"],
-                           capture_output=True, text=True, env=env,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
-        for ln in p.stdout.splitlines():
-            if ln.startswith("CHILD_JSON:"):
-                runs[cpus] = json.loads(ln[len("CHILD_JSON:"):])
-                break
-        else:
-            sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
-            raise SystemExit(f"child local[{cpus}] produced no result")
+    if "--assemble" in sys.argv:
+        i = sys.argv.index("--assemble")
+        for cpus, path in zip(("8", "32"), sys.argv[i + 1: i + 3]):
+            with open(path) as f:
+                txt = f.read()
+            for ln in txt.splitlines():
+                if ln.startswith("CHILD_JSON:"):
+                    runs[cpus] = json.loads(ln[len("CHILD_JSON:"):])
+    else:
+        for cpus in ("8", "32"):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                       SPARK_GRAFT_SF_DIR=sf_dir)
+            p = subprocess.run([sys.executable, __file__, "--child"],
+                               capture_output=True, text=True, env=env,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            for ln in p.stdout.splitlines():
+                if ln.startswith("CHILD_JSON:"):
+                    runs[cpus] = json.loads(ln[len("CHILD_JSON:"):])
+                    break
+            else:
+                sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
+                raise SystemExit(f"child local[{cpus}] produced no result")
 
     lines = ["# BENCH/BASELINE.md — measured numbers",
              "",
