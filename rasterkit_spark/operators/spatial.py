@@ -142,12 +142,19 @@ def _refine_pip(pdf_iter):
 def pip_join(points: DataFrame, polys: DataFrame,
              point_id: str, lon_col: str, lat_col: str,
              poly_id: str, wkt_col: str,
-             res: int = 12, broadcast_polys: bool = True) -> DataFrame:
+             res: int = 12, broadcast_polys: bool = True,
+             salt_threshold: int | None = None, n_salt: int = 8) -> DataFrame:
     """Exact point-in-polygon join.
 
     Coarse: equi-join on grid cell (polygon side exploded over its bbox
     cover — a rectangle superset, so no false negatives).  Fine: ray-cast
     refinement.  Returns (point_id, poly_id) pairs.
+
+    Shuffle-join regime (``broadcast_polys=False``): pass
+    ``salt_threshold`` to split Zipf-hot cells across ``n_salt`` shuffle
+    keys — the point side gets ``pmod(hash, n_salt)``, the polygon side
+    replicates hot-cell rows over every salt (north_rule skew handling,
+    complementing AQE's runtime skew-join split).
     """
     pts = index_points(points, lon_col, lat_col, res).select(
         F.col(point_id).cast("string").alias("point_id"),
@@ -158,8 +165,20 @@ def pip_join(points: DataFrame, polys: DataFrame,
         F.col("_coords.ys").alias("poly_ys"),
         "_minx", "_maxx", "_miny", "_maxy", "cell")
     if broadcast_polys:
-        pol = F.broadcast(pol)
-    cand = pts.join(pol, "cell", "inner")
+        cand = pts.join(F.broadcast(pol), "cell", "inner")
+    elif salt_threshold is not None:
+        hot = hot_cells(pts, salt_threshold)
+        pts_s = add_salt(pts, "cell", hot, n_salt)
+        hk = hot.withColumn("_hot", F.lit(True))
+        pol_s = (pol.join(F.broadcast(hk), "cell", "left")
+                 .withColumn("salt", F.explode(
+                     F.when(F.col("_hot").isNotNull(),
+                            F.sequence(F.lit(0), F.lit(n_salt - 1)))
+                      .otherwise(F.array(F.lit(0)))))
+                 .drop("_hot"))
+        cand = pts_s.join(pol_s, ["cell", "salt"], "inner")
+    else:
+        cand = pts.join(pol, "cell", "inner")
     # cheap bbox pre-filter before the exact kernel (P7 semantics)
     cand = cand.filter((F.col("px") >= F.col("_minx")) &
                        (F.col("px") <= F.col("_maxx")) &

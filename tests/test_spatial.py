@@ -135,6 +135,21 @@ def test_zonal_stats_matches_oracle(spark, corpus):
     assert checked > 0
 
 
+def test_pip_join_salted_smj_same_result(spark, corpus, points_pdf):
+    """Shuffle-join + hot-cell salting must give the identical pair set as
+    the broadcast path (skew handling changes the plan, never the answer)."""
+    points = spark.createDataFrame(points_pdf)
+    zones = spark.createDataFrame(corpus.queries_polygon).select(
+        F.col("query_id").alias("zone_id"), "polygon_wkt")
+    a = SP.pip_join(points, zones, "id", "lon", "lat", "zone_id",
+                    "polygon_wkt", res=8, broadcast_polys=True).toPandas()
+    b = SP.pip_join(points, zones, "id", "lon", "lat", "zone_id",
+                    "polygon_wkt", res=8, broadcast_polys=False,
+                    salt_threshold=200, n_salt=4).toPandas()
+    assert set(zip(a.point_id, a.poly_id)) == set(zip(b.point_id, b.poly_id))
+    assert len(a) > 0
+
+
 def test_hot_cell_salting(spark, points_pdf):
     pts = SP.index_points(spark.createDataFrame(points_pdf), "lon", "lat", 8)
     hot = SP.hot_cells(pts, threshold=500)
