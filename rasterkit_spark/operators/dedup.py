@@ -87,6 +87,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     count shared → |A∪B| = |A|+|B|−shared.  Output jaccard scaled ×1e6
     (floor) for float-free comparison.  At corpus scale, cap ultra-frequent
     shingles before the join (they contribute pairs quadratically)."""
+    from ..session import ensure_parallelism
+    docs = ensure_parallelism(docs)
     sh = F.explode(F.array_distinct(
         (word_shingles if use_words else shingles)(F.col(text_col), n)))
     tok = docs.select(F.col(id_col).alias("id"), sh.alias("shingle"))
@@ -154,6 +156,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     matches exactly.  Candidates are verified with
     :func:`ngram_jaccard_pairs` semantics, so precision is exact; recall is
     1−(1−s^r)^b (≈1 for near-dups at these defaults)."""
+    from ..session import ensure_parallelism
+    docs = ensure_parallelism(docs)
     rows = n_hashes // bands
     # two-step: materialize shingle hashes once, then all permutations read
     # the column (md5 evaluated once per doc, not once per permutation)
@@ -229,6 +233,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash: band on 4×15-bit chunks (any equal chunk →
     candidate; guarantees recall for hamming ≤ 3), verify exact hamming."""
+    from ..session import ensure_parallelism
+    docs = ensure_parallelism(docs)
     s = docs.select(F.col(id_col).alias("id"),
                     simhash64(F.col(text_col)).alias("sig"))
     chunks = s.select("id", "sig", F.explode(F.array(*[

@@ -29,7 +29,8 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     Ties broken by neighbor id; cosine scaled ×1e6 floor for float-free
     comparison.  Self-matches are not excluded (callers filter if needed).
     """
-    e = embeddings.select(F.col(id_col).alias("nbr_id"),
+    from ..session import ensure_parallelism
+    e = ensure_parallelism(embeddings).select(F.col(id_col).alias("nbr_id"),
                           F.col(vec_col).alias("v"))
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).alias("qv"))

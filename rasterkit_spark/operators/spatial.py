@@ -156,7 +156,9 @@ def pip_join(points: DataFrame, polys: DataFrame,
     replicates hot-cell rows over every salt (north_rule skew handling,
     complementing AQE's runtime skew-join split).
     """
-    pts = index_points(points, lon_col, lat_col, res).select(
+    from ..session import ensure_parallelism
+    pts = index_points(ensure_parallelism(points), lon_col, lat_col, res) \
+        .select(
         F.col(point_id).cast("string").alias("point_id"),
         F.col(lon_col).alias("px"), F.col(lat_col).alias("py"), "cell")
     pol = polygons_with_cover(polys, wkt_col, res).select(
@@ -228,6 +230,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     cell_h = span_y / n
     min_extent = min(cell_w, cell_h)
 
+    from ..session import ensure_parallelism
+    points = ensure_parallelism(points)
     ix, iy = _eq_cell(F.col(x_col), F.col(y_col), res, lo_x, span_x, lo_y, span_y)
     pts = points.select(
         F.col(point_id).alias("nbr_id"),

@@ -55,6 +55,19 @@ def get_spark(app_name: str = "rasterkit-spark",
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Guarantee enough partitions to use the cluster.
+
+    Small-file inputs (one parquet file → one partition) otherwise serialize
+    every downstream pandas/numpy stage onto a single core — invisible at
+    toy scale, fatal for scaling efficiency.  At 100 TB inputs are already
+    wide and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-provided parquet tables."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
