@@ -50,6 +50,8 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
         dt = time.time() - t0
         results[name] = dict(sec=dt, rows=int(n),
                              throughput=float(units) / dt, units=int(units))
+        print(f"[bench] {name}: {dt:.1f}s rows={n} units={units}",
+              file=sys.stderr, flush=True)
 
     # ---- corpus-backed raster benches (seeded, deterministic) ----
     c = CP.build_corpus(n_media=32, n_docs=400, n_queries=120)
@@ -116,15 +118,24 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
 
     # ---- dedup over an amplified documents corpus ----
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    amplified = docs.crossJoin(spark.range(8).select(F.col("id").alias("rep"))) \
+    amplified = docs.crossJoin(spark.range(6).select(F.col("id").alias("rep"))) \
         .select((F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
                 F.when(F.col("rep") == 0, F.col("text"))
                  .otherwise(F.concat(F.col("text"), F.lit(" tail"),
                                      F.col("rep").cast("string"))).alias("text"))
     n_docs = amplified.count()
+    # rows-per-band=8: this low-entropy corpus has high baseline jaccard
+    # between unrelated docs, so shallow bands (r=2) collide almost
+    # everywhere and the candidate set goes quadratic; deep bands keep the
+    # LSH s-curve steep (collision ≈ s^8 per band).
+    # word shingles: this low-entropy corpus (tiny word vocabulary) gives
+    # unrelated docs ~0.7 char-shingle jaccard → the LSH candidate set goes
+    # quadratic.  Word 3-grams push baseline jaccard below 0.1 so band
+    # collisions are (almost) only true dups.
     bench("minhash_dedup",
           lambda: _rows(DD.minhash_lsh_pairs(amplified, 0.8, n_hashes=32,
-                                             bands=16)),
+                                             bands=8, shingle_n=3,
+                                             use_words=True)),
           units=n_docs)
 
     # ---- similarity over an amplified embeddings corpus ----

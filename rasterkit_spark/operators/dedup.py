@@ -113,11 +113,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingle_hashes(text: Column, shingle_n: int = 5) -> Column:
+def shingle_hashes(text: Column, shingle_n: int = 5,
+                   use_words: bool = False) -> Column:
     """Distinct 48-bit md5 shingle hashes (12 hex digits → no int64
     overflow when multiplied by small permutation constants; Spark 4 runs
-    ANSI mode where overflow aborts)."""
-    return F.transform(F.array_distinct(shingles(text, shingle_n)),
+    ANSI mode where overflow aborts).  ``use_words`` switches to word
+    n-grams — far more discriminative on low-entropy corpora, where char
+    shingles give even unrelated docs high baseline jaccard and the LSH
+    candidate set goes quadratic."""
+    fn = word_shingles if use_words else shingles
+    return F.transform(F.array_distinct(fn(text, shingle_n)),
                        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
                                   .cast("long"))
 
@@ -148,7 +153,8 @@ def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column
 def minhash_lsh_pairs(docs: DataFrame, threshold: float,
                       n_hashes: int = 32, bands: int = 16,
                       shingle_n: int = 5, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      use_words: bool = False) -> DataFrame:
     """MinHash+LSH candidate generation followed by exact-Jaccard
     verification.
 
@@ -162,7 +168,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     # two-step: materialize shingle hashes once, then all permutations read
     # the column (md5 evaluated once per doc, not once per permutation)
     sig = docs.select(F.col(id_col).alias("id"),
-                      shingle_hashes(F.col(text_col), shingle_n).alias("hs")) \
+                      shingle_hashes(F.col(text_col), shingle_n,
+                                     use_words).alias("hs")) \
         .select("id", minhash_sigs_from_hashes(F.col("hs"), n_hashes)
                 .alias("sig"))
     bands_df = sig.select(
@@ -184,9 +191,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     # shingle self-join (hot shingles in low-entropy corpora would make
     # that quadratic): cand ⋈ shingles(id_a) ⋈ shingles on (id_b, shingle),
     # so fan-out is |cand|·|shingles per doc|, independent of shingle heat.
+    _shfn = word_shingles if use_words else shingles
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n)))
+        F.explode(F.array_distinct(_shfn(F.col(text_col), shingle_n)))
          .alias("shingle"))
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     tok_a = tok.select(F.col("id").alias("id_a"), "shingle")
