@@ -54,7 +54,7 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
               file=sys.stderr, flush=True)
 
     # ---- corpus-backed raster benches (seeded, deterministic) ----
-    c = CP.build_corpus(n_media=32, n_docs=400, n_queries=120)
+    c = CP.build_corpus(n_media=96, n_docs=400, n_queries=400)
     sdfs = c.to_spark(spark)
     for k in ("media_catalog", "tiles", "queries_bbox", "zones"):
         sdfs[k] = sdfs[k].cache()
@@ -84,9 +84,9 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
 
     zones_pdf = []
     rng = np.random.default_rng(7)
-    for z in range(40):
+    for z in range(120):
         cx, cy = float(rng.uniform(-150, 150)), float(rng.uniform(-70, 70))
-        r = float(rng.uniform(2, 12))
+        r = float(rng.uniform(3, 18))
         ring = [(cx + r * np.cos(t), cy + r * np.sin(t))
                 for t in np.linspace(0, 2 * np.pi, 9)[:-1]]
         wkt = ("POLYGON((" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in ring)
@@ -104,11 +104,14 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
         F.col("c_custkey").alias("id"),
         (((F.col("c_custkey") * 37) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
         (((F.col("c_custkey") * 91) % 1700) / 10.0 - 85.0 + 0.05).alias("lat"))
-    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")) \
+        .crossJoin(spark.range(10).select(F.col("id").alias("qrep")))
     kq = supp.select(
-        F.col("s_suppkey").alias("qid"),
-        (((F.col("s_suppkey") * 53) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
-        (((F.col("s_suppkey") * 17) % 1700) / 10.0 - 85.0 + 0.05).alias("lat"))
+        (F.col("s_suppkey") * 10 + F.col("qrep")).alias("qid"),
+        (((F.col("s_suppkey") * 53 + F.col("qrep") * 7) % 3600) / 10.0
+         - 180.0 + 0.05).alias("lon"),
+        (((F.col("s_suppkey") * 17 + F.col("qrep") * 11) % 1700) / 10.0
+         - 85.0 + 0.05).alias("lat"))
     n_kq = kq.count()
     bench("knn_join",
           lambda: _rows(SP.knn_join(kpts, kq, 10, point_id="id",
@@ -124,10 +127,6 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
                  .otherwise(F.concat(F.col("text"), F.lit(" tail"),
                                      F.col("rep").cast("string"))).alias("text"))
     n_docs = amplified.count()
-    # rows-per-band=8: this low-entropy corpus has high baseline jaccard
-    # between unrelated docs, so shallow bands (r=2) collide almost
-    # everywhere and the candidate set goes quadratic; deep bands keep the
-    # LSH s-curve steep (collision ≈ s^8 per band).
     # word shingles: this low-entropy corpus (tiny word vocabulary) gives
     # unrelated docs ~0.7 char-shingle jaccard → the LSH candidate set goes
     # quadratic.  Word 3-grams push baseline jaccard below 0.1 so band
@@ -144,7 +143,7 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
         .select((F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
                 F.transform("embedding",
                             lambda x: x + F.col("rep") * 0.01).alias("embedding"))
-    qe = emb.filter("vec_id % 25 = 0").select(
+    qe = emb.filter("vec_id % 10 = 0").select(
         F.col("vec_id").alias("qid"), "embedding")
     n_emb = bigemb.count()
     bench("cosine_topk",

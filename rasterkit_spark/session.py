@@ -45,7 +45,7 @@ def get_spark(app_name: str = "rasterkit-spark",
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
-                os.environ.get("RASTERKIT_DRIVER_MEM", "8g"))
+                os.environ.get("RASTERKIT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
