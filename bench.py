@@ -26,6 +26,11 @@ import subprocess
 import sys
 import time
 
+# pandas-UDF workers inherit this env: without it every Python worker spins
+# up a full BLAS thread pool and 32 concurrent tasks thrash the machine.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def _rows(df) -> int:
     return df.count()
@@ -54,7 +59,8 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
               file=sys.stderr, flush=True)
 
     # ---- corpus-backed raster benches (seeded, deterministic) ----
-    c = CP.build_corpus(n_media=96, n_docs=400, n_queries=400)
+    c = CP.build_corpus(n_media=48, n_docs=400, n_queries=400,
+                        sizes=(128, 192, 256))
     sdfs = c.to_spark(spark)
     for k in ("media_catalog", "tiles", "queries_bbox", "zones"):
         sdfs[k] = sdfs[k].cache()

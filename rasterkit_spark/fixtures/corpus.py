@@ -63,7 +63,8 @@ class Corpus:
         return out
 
 
-def make_media_catalog(n_media: int = 12, seed: int = SEED) -> pd.DataFrame:
+def make_media_catalog(n_media: int = 12, seed: int = SEED,
+                       sizes=(17, 32, 48, 64)) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     rows = []
     for j in range(n_media):
@@ -85,8 +86,8 @@ def make_media_catalog(n_media: int = 12, seed: int = SEED) -> pd.DataFrame:
                 compression=1, predictor=1, nodata="", bits_per_sample=8,
                 samples_per_pixel=1, geometry_wkt=wkt))
             continue
-        width = int(rng.choice([17, 32, 48, 64]))
-        height = int(rng.choice([17, 32, 48, 64]))
+        width = int(rng.choice(sizes))
+        height = int(rng.choice(sizes))
         tiled = j % 3 != 2
         rps = 0
         tile_w = tile_h = 0
@@ -364,8 +365,9 @@ def make_zones(catalog: pd.DataFrame | None = None, n_zones: int = 8,
 
 
 def build_corpus(n_media: int = 12, n_docs: int = 200,
-                 n_queries: int = 25, seed: int = SEED) -> Corpus:
-    catalog = make_media_catalog(n_media, seed)
+                 n_queries: int = 25, seed: int = SEED,
+                 sizes=(17, 32, 48, 64)) -> Corpus:
+    catalog = make_media_catalog(n_media, seed, sizes=sizes)
     tiles, pixels = make_tiles(catalog, seed=seed)
     docs = make_docs(catalog, n_docs, seed)
     colormaps = make_colormaps(seed)
