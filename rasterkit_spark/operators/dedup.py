@@ -150,6 +150,47 @@ def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column
     return minhash_sigs_from_hashes(shingle_hashes(text, shingle_n), n_hashes)
 
 
+def minhash_sig_udf(n_hashes: int, shingle_n: int, use_words: bool):
+    """Arrow-batched numpy minhash — identical math to the SQL flavor
+    (md5[:12hex] base, h_k = ((2k+1)h + 104729(k+1)) mod M61) but ~10-30×
+    faster: the 32-permutation nested HOF expression tree falls out of
+    whole-stage codegen and evaluates interpreted, with erratic JIT
+    behavior under concurrency.  Per batch: one md5 pass per distinct
+    shingle, then a vectorized (perms × shingles) min-reduce."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    ks = np.arange(n_hashes, dtype=np.int64)
+    a = (2 * ks + 1)[:, None]
+    b = (104729 * (ks + 1))[:, None]
+
+    # note: no type hints — `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve the local 'pd' alias at decode time
+    @pandas_udf(ArrayType(LongType()))
+    def _udf(text):
+        out = []
+        for t in text:
+            if use_words:
+                words = t.strip().split(" ")  # match F.split(trim, " ")
+                n_sh = max(len(words) - shingle_n + 1, 1)
+                sh = {" ".join(words[i:i + shingle_n]) for i in range(n_sh)}
+            else:
+                n_sh = max(len(t) - shingle_n + 1, 1)
+                sh = {t[i:i + shingle_n] for i in range(n_sh)}
+            hs = np.fromiter(
+                (int(_hl.md5(s.encode()).hexdigest()[:12], 16) for s in sh),
+                dtype=np.int64, count=len(sh))
+            sig = ((hs[None, :] * a + b) % MERSENNE_61).min(axis=1)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float,
                       n_hashes: int = 32, bands: int = 16,
                       shingle_n: int = 5, text_col: str = "text",
@@ -165,13 +206,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     from ..session import ensure_parallelism
     docs = ensure_parallelism(docs)
     rows = n_hashes // bands
-    # two-step: materialize shingle hashes once, then all permutations read
-    # the column (md5 evaluated once per doc, not once per permutation)
-    sig = docs.select(F.col(id_col).alias("id"),
-                      shingle_hashes(F.col(text_col), shingle_n,
-                                     use_words).alias("hs")) \
-        .select("id", minhash_sigs_from_hashes(F.col("hs"), n_hashes)
-                .alias("sig"))
+    # Arrow-batched numpy signatures (see minhash_sig_udf for why not HOFs)
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_sig_udf(n_hashes, shingle_n, use_words)(F.col(text_col))
+        .alias("sig"))
     bands_df = sig.select(
         "id",
         F.explode(F.array(*[
