@@ -150,6 +150,31 @@ def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 5) -> Column
     return minhash_sigs_from_hashes(shingle_hashes(text, shingle_n), n_hashes)
 
 
+def shingle_set_udf(shingle_n: int, use_words: bool):
+    """Arrow-batched distinct-shingle arrays (same semantics as
+    shingles()/word_shingles() + array_distinct, but ~10× faster than the
+    interpreted nested-HOF expression)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _udf(text):
+        out = []
+        for t in text:
+            if use_words:
+                words = t.strip().split(" ")
+                n_sh = max(len(words) - shingle_n + 1, 1)
+                sh = {" ".join(words[i:i + shingle_n]) for i in range(n_sh)}
+            else:
+                n_sh = max(len(t) - shingle_n + 1, 1)
+                sh = {t[i:i + shingle_n] for i in range(n_sh)}
+            out.append(sorted(sh))
+        return pd.Series(out)
+
+    return _udf
+
+
 def minhash_sig_udf(n_hashes: int, shingle_n: int, use_words: bool):
     """Arrow-batched numpy minhash — identical math to the SQL flavor
     (md5[:12hex] base, h_k = ((2k+1)h + 104729(k+1)) mod M61) but ~10-30×
@@ -230,10 +255,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     # shingle self-join (hot shingles in low-entropy corpora would make
     # that quadratic): cand ⋈ shingles(id_a) ⋈ shingles on (id_b, shingle),
     # so fan-out is |cand|·|shingles per doc|, independent of shingle heat.
-    _shfn = word_shingles if use_words else shingles
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(_shfn(F.col(text_col), shingle_n)))
+        F.explode(shingle_set_udf(shingle_n, use_words)(F.col(text_col)))
          .alias("shingle"))
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     tok_a = tok.select(F.col("id").alias("id_a"), "shingle")
