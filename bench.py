@@ -153,7 +153,7 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
         F.col("vec_id").alias("qid"), "embedding")
     n_emb = bigemb.count()
     bench("cosine_topk",
-          lambda: _rows(SIM.cosine_topk(bigemb, qe, 10)),
+          lambda: _rows(SIM.cosine_topk_fast(bigemb, qe, 10)),
           units=n_emb)
 
     return results

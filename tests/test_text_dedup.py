@@ -175,3 +175,13 @@ def test_multimodal_plumbing(spark):
         "media_ref": ["v1"], "blob": [bytearray(b"x" * 4096 * 25)]}))
     frames = MM.sample_video_frames(video, every_n=10).toPandas()
     assert list(frames.frame_idx) == [0, 10, 20]
+
+
+def test_cosine_topk_fast_matches_hof(spark, embeddings):
+    e = embeddings.limit(300).cache()
+    q = e.limit(8).select(F.col("vec_id").alias("qid"), "embedding")
+    slow = SIM.cosine_topk(e, q, 5).toPandas()
+    fast = SIM.cosine_topk_fast(e, q, 5).toPandas()
+    s = {(str(r.qid), str(r.nbr_id), r.rank) for r in slow.itertuples()}
+    f = {(str(r.qid), str(r.nbr_id), r.rank) for r in fast.itertuples()}
+    assert s == f
