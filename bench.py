@@ -201,17 +201,18 @@ def _scaling_protocol(sf_dir: str, sf: float) -> None:
     ``--assemble f8.json f32.json`` skips the subprocess runs and builds the
     report from previously captured CHILD_JSON payloads (lets the two runs
     happen under separate time budgets)."""
+    lo, hi = os.environ.get("SCALING_CPUS", "2,8").split(",")
     runs = {}
     if "--assemble" in sys.argv:
         i = sys.argv.index("--assemble")
-        for cpus, path in zip(("8", "32"), sys.argv[i + 1: i + 3]):
+        for cpus, path in zip((lo, hi), sys.argv[i + 1: i + 3]):
             with open(path) as f:
                 txt = f.read()
             for ln in txt.splitlines():
                 if ln.startswith("CHILD_JSON:"):
                     runs[cpus] = json.loads(ln[len("CHILD_JSON:"):])
     else:
-        for cpus in ("8", "32"):
+        for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                        SPARK_GRAFT_SF_DIR=sf_dir)
             p = subprocess.run([sys.executable, __file__, "--child"],
@@ -228,16 +229,17 @@ def _scaling_protocol(sf_dir: str, sf: float) -> None:
     lines = ["# BENCH/BASELINE.md — measured numbers",
              "",
              f"Input: `{sf_dir}` (sf={sf}), identical seeded workload, "
-             "two-parallelism protocol (no real cluster in sandbox; "
-             "BASELINE.json north_rule evidenced as local[8] vs local[32]).",
+             f"two-parallelism protocol (no real cluster in sandbox; "
+             f"BASELINE.json north_rule evidenced as local[{lo}] vs "
+             f"local[{hi}] — N→4N cores).",
              "",
-             "| query | local[8] sec | local[32] sec | thr@8 (units/s) | "
-             "thr@32 (units/s) | speedup | efficiency (speedup/4) |",
+             f"| query | local[{lo}] sec | local[{hi}] sec | thr@N (units/s) | "
+             "thr@4N (units/s) | speedup | efficiency (speedup/4) |",
              "|---|---|---|---|---|---|---|"]
     effs = []
-    for name in runs["8"]["queries"]:
-        q8 = runs["8"]["queries"][name]
-        q32 = runs["32"]["queries"][name]
+    for name in runs[lo]["queries"]:
+        q8 = runs[lo]["queries"][name]
+        q32 = runs[hi]["queries"][name]
         speedup = q8["sec"] / q32["sec"]
         eff = speedup / 4.0
         effs.append((name, eff))
@@ -245,10 +247,10 @@ def _scaling_protocol(sf_dir: str, sf: float) -> None:
             f"| {name} | {q8['sec']:.2f} | {q32['sec']:.2f} | "
             f"{q8['throughput']:.0f} | {q32['throughput']:.0f} | "
             f"{speedup:.2f}x | {eff:.2f} |")
-    tot8, tot32 = runs["8"]["total"], runs["32"]["total"]
+    tot8, tot32 = runs[lo]["total"], runs[hi]["total"]
     total_eff = (tot8 / tot32) / 4.0
     lines += ["",
-              f"**Total wall: local[8] {tot8:.1f}s, local[32] {tot32:.1f}s — "
+              f"**Total wall: local[{lo}] {tot8:.1f}s, local[{hi}] {tot32:.1f}s — "
               f"overall speedup {tot8 / tot32:.2f}x, efficiency "
               f"{total_eff:.2f}** (target ≥ 0.8 per BASELINE.json; "
               "local-mode caveat: a single JVM under-reports scaling vs "
