@@ -47,6 +47,7 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
     from rasterkit_spark.operators import similarity as SIM
     from rasterkit_spark.operators import spatial as SP
 
+    heavy = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1"))
     results: dict[str, dict] = {}
 
     def bench(name, fn, units):
@@ -59,8 +60,10 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
               file=sys.stderr, flush=True)
 
     # ---- corpus-backed raster benches (seeded, deterministic) ----
-    c = CP.build_corpus(n_media=48, n_docs=400, n_queries=400,
-                        sizes=(128, 192, 256))
+    c = CP.build_corpus(n_media=48 * heavy, n_docs=400,
+                        n_queries=400 * heavy,
+                        sizes=(128, 192, 256) if heavy == 1
+                        else (256, 320, 384))
     sdfs = c.to_spark(spark)
     for k in ("media_catalog", "tiles", "queries_bbox", "zones"):
         sdfs[k] = sdfs[k].cache()
@@ -80,6 +83,10 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
 
     # ---- spatial joins over derived points (big relational tables) ----
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    if heavy > 1:
+        li = li.crossJoin(spark.range(heavy).select(F.col("id").alias("prep"))) \
+            .withColumn("l_orderkey",
+                        F.col("l_orderkey") * heavy + F.col("prep"))
     pts = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
         (((F.col("l_orderkey") * 37 + F.col("l_linenumber")) % 3600) / 10.0
@@ -111,7 +118,7 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
         (((F.col("c_custkey") * 37) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
         (((F.col("c_custkey") * 91) % 1700) / 10.0 - 85.0 + 0.05).alias("lat"))
     supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")) \
-        .crossJoin(spark.range(10).select(F.col("id").alias("qrep")))
+        .crossJoin(spark.range(10 * heavy).select(F.col("id").alias("qrep")))
     kq = supp.select(
         (F.col("s_suppkey") * 10 + F.col("qrep")).alias("qid"),
         (((F.col("s_suppkey") * 53 + F.col("qrep") * 7) % 3600) / 10.0
@@ -127,7 +134,8 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
 
     # ---- dedup over an amplified documents corpus ----
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    amplified = docs.crossJoin(spark.range(6).select(F.col("id").alias("rep"))) \
+    amplified = docs.crossJoin(
+        spark.range(6 * heavy).select(F.col("id").alias("rep"))) \
         .select((F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
                 F.when(F.col("rep") == 0, F.col("text"))
                  .otherwise(F.concat(F.col("text"), F.lit(" tail"),
@@ -145,12 +153,15 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
 
     # ---- similarity over an amplified embeddings corpus ----
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    bigemb = emb.crossJoin(spark.range(6).select(F.col("id").alias("rep"))) \
+    bigemb = emb.crossJoin(
+        spark.range(6 * heavy).select(F.col("id").alias("rep"))) \
         .select((F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
                 F.transform("embedding",
                             lambda x: x + F.col("rep") * 0.01).alias("embedding"))
-    qe = emb.filter("vec_id % 10 = 0").select(
-        F.col("vec_id").alias("qid"), "embedding")
+    qe = emb.filter("vec_id % 5 = 0") \
+        .crossJoin(spark.range(heavy).select(F.col("id").alias("qr"))) \
+        .select((F.col("vec_id") * heavy + F.col("qr")).alias("qid"),
+                "embedding")
     n_emb = bigemb.count()
     bench("cosine_topk",
           lambda: _rows(SIM.cosine_topk_fast(bigemb, qe, 10)),
@@ -215,6 +226,7 @@ def _scaling_protocol(sf_dir: str, sf: float) -> None:
         for cpus in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
                        SPARK_GRAFT_SF_DIR=sf_dir)
+            env.setdefault("SPARK_GRAFT_BENCH_HEAVY", "3")
             p = subprocess.run([sys.executable, __file__, "--child"],
                                capture_output=True, text=True, env=env,
                                cwd=os.path.dirname(os.path.abspath(__file__)))

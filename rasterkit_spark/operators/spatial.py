@@ -244,7 +244,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     pending = queries.select(
         F.col(query_id).alias("qid_"),
         F.col(x_col).alias("qx"), F.col(y_col).alias("qy"),
-        qix.alias("qix"), qiy.alias("qiy")).localCheckpoint(eager=True)
+        qix.alias("qix"), qiy.alias("qiy")).cache()
+    pending.count()
 
     from pyspark.sql import Window
     results = []
@@ -283,14 +284,20 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         if full_frame:
             done_ids = stats.select("qid_")
         done = topk.join(F.broadcast(done_ids), "qid_", "left_semi")
-        # localCheckpoint truncates the per-round lineage: without it every
-        # later round re-executes all earlier joins/windows from scratch
-        results.append(done.select(F.col("qid_").alias(query_id),
-                                   F.col("nbr_id"), F.col("rank"),
-                                   F.col("dist")).localCheckpoint(eager=True))
-        pending = pending.join(F.broadcast(done_ids), "qid_", "left_anti") \
-                         .localCheckpoint(eager=True)
-        if full_frame or pending.isEmpty():
+        # cache (and materialize) per-round outputs: without a cut, every
+        # later round re-executes all earlier joins/windows from scratch.
+        # cache is much cheaper than localCheckpoint here (no write barrier)
+        # and the lineage depth is bounded by max_rounds.
+        r_out = done.select(F.col("qid_").alias(query_id),
+                            F.col("nbr_id"), F.col("rank"),
+                            F.col("dist")).cache()
+        r_out.count()
+        results.append(r_out)
+        nxt = pending.join(F.broadcast(done_ids), "qid_", "left_anti").cache()
+        remaining = nxt.count()
+        pending.unpersist()
+        pending = nxt
+        if full_frame or remaining == 0:
             break
         ring *= 2
     pts.unpersist()
