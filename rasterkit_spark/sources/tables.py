@@ -19,13 +19,27 @@ transforms (session.TABLE_FORMAT switch).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import cells as C
 
 
+def _drop_table(spark: SparkSession, name: str) -> None:
+    """Idempotent drop: clears both the catalog entry and any orphaned
+    warehouse directory left by a previous session (a fresh in-memory
+    metastore doesn't know about it, so DROP alone won't remove it)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(wh.replace("file:", ""), name.lower())
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def write_tiles_table(tiles: DataFrame, name: str = "tiles",
                       n_buckets: int = 64) -> None:
+    _drop_table(tiles.sparkSession, name)
     (tiles.repartition(n_buckets, "media_ref")
      .sortWithinPartitions("media_ref", "level", "tile_y", "tile_x")
      .write.mode("overwrite")
@@ -37,6 +51,7 @@ def write_tiles_table(tiles: DataFrame, name: str = "tiles",
 
 def write_docs_table(docs: DataFrame, name: str = "docs",
                      n_buckets: int = 64) -> None:
+    _drop_table(docs.sparkSession, name)
     (docs.repartition(n_buckets, "doc_id")
      .write.mode("overwrite")
      .bucketBy(n_buckets, "doc_id")
@@ -49,6 +64,7 @@ def write_points_table(points: DataFrame, lon_col: str, lat_col: str,
                        partition_res: int = 5) -> None:
     """Cell-indexed point table: fine cell for the join key, coarse parent
     cell as the partition column (pruning without small-file explosion)."""
+    _drop_table(points.sparkSession, name)
     p = points.withColumn(
         "cell", C.grid_cell_from_lonlat(F.col(lon_col), F.col(lat_col),
                                         join_res))
