@@ -46,13 +46,17 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 _PTS = ("SELECT c_custkey AS id, "
-        "CAST(((c_custkey * 37) % 3600) / 10.0 - 180.0 + 0.05 AS DOUBLE) AS lon, "
-        "CAST(((c_custkey * 91) % 1700) / 10.0 - 85.0 + 0.05 AS DOUBLE) AS lat "
+        "CAST((c_custkey * 37) % 3600 AS DOUBLE) / 10 - 180 + "
+        "CAST(0.05 AS DOUBLE) AS lon, "
+        "CAST((c_custkey * 91) % 1700 AS DOUBLE) / 10 - 85 + "
+        "CAST(0.05 AS DOUBLE) AS lat "
         "FROM customer")
 
 _QPTS = ("SELECT s_suppkey AS qid, "
-         "CAST(((s_suppkey * 53) % 3600) / 10.0 - 180.0 + 0.05 AS DOUBLE) AS lon, "
-         "CAST(((s_suppkey * 17) % 1700) / 10.0 - 85.0 + 0.05 AS DOUBLE) AS lat "
+         "CAST((s_suppkey * 53) % 3600 AS DOUBLE) / 10 - 180 + "
+         "CAST(0.05 AS DOUBLE) AS lon, "
+         "CAST((s_suppkey * 17) % 1700 AS DOUBLE) / 10 - 85 + "
+         "CAST(0.05 AS DOUBLE) AS lat "
          "FROM supplier")
 
 _REGIONS = ("SELECT o_orderkey AS rid, "
@@ -63,10 +67,10 @@ _REGIONS = ("SELECT o_orderkey AS rid, "
             "FROM orders WHERE o_orderkey % 10 = 0")
 
 _ZONES = ("SELECT n_nationkey AS zone_id, "
-          "CAST(((n_nationkey * 29) % 300) - 150 - 8.0 AS DOUBLE) AS zminx, "
-          "CAST(((n_nationkey * 41) % 140) - 70 - 8.0 AS DOUBLE) AS zminy, "
-          "CAST(((n_nationkey * 29) % 300) - 150 + 8.0 AS DOUBLE) AS zmaxx, "
-          "CAST(((n_nationkey * 41) % 140) - 70 + 8.0 AS DOUBLE) AS zmaxy "
+          "CAST((n_nationkey * 29) % 300 - 158 AS DOUBLE) AS zminx, "
+          "CAST((n_nationkey * 41) % 140 - 78 AS DOUBLE) AS zminy, "
+          "CAST((n_nationkey * 29) % 300 - 142 AS DOUBLE) AS zmaxx, "
+          "CAST((n_nationkey * 41) % 140 - 62 AS DOUBLE) AS zmaxy "
           "FROM nation")
 
 
@@ -134,10 +138,10 @@ def _g5_sql(minx, miny, maxx, maxy, p=_G5):
 
 
 _BBOXES = ("SELECT p_partkey AS bid, "
-           "CAST(((p_partkey * 13) % 1200) - 600 + 0.25 AS DOUBLE) AS bminx, "
-           "CAST(((p_partkey * 7) % 1100) - 550 + 0.25 AS DOUBLE) AS bminy, "
-           "CAST(((p_partkey * 13) % 1200) - 600 + 0.25 + 1 + (p_partkey % 200) AS DOUBLE) AS bmaxx, "
-           "CAST(((p_partkey * 7) % 1100) - 550 + 0.25 + 1 + ((p_partkey * 3) % 150) AS DOUBLE) AS bmaxy "
+           "CAST((p_partkey * 13) % 1200 - 600 AS DOUBLE) + CAST(0.25 AS DOUBLE) AS bminx, "
+           "CAST((p_partkey * 7) % 1100 - 550 AS DOUBLE) + CAST(0.25 AS DOUBLE) AS bminy, "
+           "CAST((p_partkey * 13) % 1200 - 599 + p_partkey % 200 AS DOUBLE) + CAST(0.25 AS DOUBLE) AS bmaxx, "
+           "CAST((p_partkey * 7) % 1100 - 549 + (p_partkey * 3) % 150 AS DOUBLE) + CAST(0.25 AS DOUBLE) AS bmaxy "
            "FROM part WHERE p_partkey % 5 = 0")
 
 _CMAP_VALUES = [(0, 10, 20, 30), (50, 100, 0, 200), (120, 0, 255, 17),
@@ -237,7 +241,10 @@ def _portable_sql() -> dict[str, str]:
                CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_c
         FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
                      ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                        ORDER BY l_linenumber DESC) AS rn
+                                        ORDER BY l_linenumber DESC,
+                                                 l_extendedprice DESC,
+                                                 l_partkey DESC,
+                                                 l_suppkey DESC) AS rn
               FROM lineitem) t WHERE rn = 1"""
 
     q["range_filter"] = """
@@ -283,10 +290,10 @@ def _portable_sql() -> dict[str, str]:
 
     q["point_radius_bbox"] = f"""
         SELECT id,
-          {_E6.format('lon - (1000.0 + id % 9000) / (111320.0 * COS(lat * PI() / 180.0))')} AS minx_e6,
-          {_E6.format('lat - (1000.0 + id % 9000) / 111320.0')} AS miny_e6,
-          {_E6.format('lon + (1000.0 + id % 9000) / (111320.0 * COS(lat * PI() / 180.0))')} AS maxx_e6,
-          {_E6.format('lat + (1000.0 + id % 9000) / 111320.0')} AS maxy_e6
+          {_E6.format('lon - CAST(1000 + id % 9000 AS DOUBLE) / (111320.0 * COS(lat * PI() / 180.0))')} AS minx_e6,
+          {_E6.format('lat - CAST(1000 + id % 9000 AS DOUBLE) / 111320.0')} AS miny_e6,
+          {_E6.format('lon + CAST(1000 + id % 9000 AS DOUBLE) / (111320.0 * COS(lat * PI() / 180.0))')} AS maxx_e6,
+          {_E6.format('lat + CAST(1000 + id % 9000 AS DOUBLE) / 111320.0')} AS maxy_e6
         FROM ({_PTS}) p"""
 
     _x, _y, _w, _h = _g5_sql("bminx", "bminy", "bmaxx", "bmaxy")

@@ -266,9 +266,11 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         q_cells = pending.withColumn(
             "pcell", F.explode(F.array_distinct(cand_cells)))
         cand = q_cells.join(pts, "pcell", "inner")
-        cand = cand.withColumn(
-            "dist", F.sqrt(F.pow(F.col("px") - F.col("qx"), 2)
-                           + F.pow(F.col("py") - F.col("qy"), 2)))
+        # dist via plain multiplication (not pow): bitwise-identical to the
+        # SQL oracle's (dx*dx + dy*dy) so distance ties break identically
+        dx = F.col("px") - F.col("qx")
+        dy = F.col("py") - F.col("qy")
+        cand = cand.withColumn("dist", F.sqrt(dx * dx + dy * dy))
         w = Window.partitionBy("qid_").orderBy("dist", "nbr_id")
         topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
