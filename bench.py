@@ -7,10 +7,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 ``--scaling`` mode (BASELINE.md two-parallelism protocol): run the identical
-workload in two subprocesses at local[8] and local[32] on the same input and
-write throughputs + efficiency = (throughput_32/throughput_8)/4 to
+workload in two subprocesses at local[N] and local[4N] (``SCALING_CPUS``,
+default "2,8" — this host's honest 4× span; see BENCH/BASELINE.md) on the
+same input and write throughputs + efficiency = (thr@4N/thr@N)/4 to
 BENCH/BASELINE.md.  This evidences the north_rule's N→4N ≥ 0.8 criterion in
-a sandbox with no real cluster.
+a sandbox with no real cluster.  ``--scaling --assemble a.json b.json``
+rebuilds the report from previously captured ``--child`` outputs.
+Scaling children run the heavier workload (SPARK_GRAFT_BENCH_HEAVY=3) so
+compute dominates stage-launch latency.
 
 Headline queries (BASELINE.md): flagship bbox extraction over the synthetic
 tile corpus, point-in-polygon join (with the Zipf-hot cell the corpus
