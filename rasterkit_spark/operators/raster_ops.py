@@ -86,6 +86,34 @@ def apply_filter_per_row(windows: DataFrame) -> DataFrame:
     return _map_windows(windows, fn, [sha])
 
 
+def apply_filter_transparency(windows: DataFrame, lo: int, hi: int) -> DataFrame:
+    """P3 transparency variant (filter_utils.rs:70-111): out-of-range pixels
+    become fully transparent RGBA instead of a background value; output
+    column ``window_rgba`` (pairs with the K3 PNG-extension rule)."""
+    schema = StructType(windows.schema.fields + [
+        StructField("window_rgba", BinaryType()),
+        StructField("rgba_sha256", StringType())])
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rgba_col, sha_col = [], []
+            for row in pdf.itertuples():
+                arr = np.frombuffer(bytes(row.window), dtype=np.uint8) \
+                    .reshape(int(row.region_h), int(row.region_w))
+                rgba = K.filter_values_transparency(arr, lo, hi)
+                buf = rgba.tobytes()
+                rgba_col.append(bytearray(buf))
+                sha_col.append(hashlib.sha256(buf).hexdigest())
+            pdf = pdf.copy()
+            pdf["window_rgba"] = rgba_col
+            pdf["rgba_sha256"] = sha_col
+            yield pdf
+
+    return windows.mapInPandas(gen, schema)
+
+
 def apply_circle_mask(windows: DataFrame) -> DataFrame:
     """P5: RGBA window with transparent pixels outside the inscribed circle
     (mask_utils.rs:22-60); output column ``window_rgba``."""

@@ -134,3 +134,12 @@ def test_analyze(spark, sdfs):
     assert (got[got.nodata_value.notna()].nodata_value != "").all()
     # ':w 255' quirk normalized, '' defaults to 255
     assert "255" in set(got.nodata_value)
+
+
+def test_apply_filter_transparency_matches_kernel(spark, corpus, windows):
+    got = RO.apply_filter_transparency(windows, 40, 200).toPandas() \
+        .set_index("query_id")
+    for qid, win in _expected_windows(corpus).items():
+        exp = K.filter_values_transparency(win, 40, 200)
+        assert got.loc[qid, "rgba_sha256"] == \
+            hashlib.sha256(exp.tobytes()).hexdigest(), qid
