@@ -503,7 +503,8 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
     docs = spark.table("documents").filter("doc_id % 4 = 0")
-    return DD.minhash_lsh_pairs(docs, 0.3, n_hashes=32, bands=16, shingle_n=5)
+    return DD.minhash_lsh_pairs(docs, 0.2, n_hashes=32, bands=16,
+                                shingle_n=3, use_words=True)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +604,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _minhash_oracle_sql() -> str:
+    """Full SQL replay of the MinHash+LSH pipeline: identical 48-bit md5
+    base hashes (DuckDB: ('0x'||hex)::BIGINT), identical permutation family,
+    identical banding and exact-jaccard verification — so the candidate set
+    (and therefore the output) matches the engine bit-for-bit."""
+    m61 = (1 << 61) - 1
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    words AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM docs),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, CAST(i AS INT),
+                                          CAST(i + 2 AS INT)), ' ') AS g
+        FROM words, LATERAL (SELECT unnest(generate_series(1,
+                GREATEST(len(ws) - 2, 1))) AS i) t),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h
+           FROM grams),
+    sigs AS (
+        SELECT doc_id, k,
+               MIN((h * (2 * k + 1) + 104729 * (k + 1)) % {m61}) AS sig
+        FROM hs, LATERAL (SELECT unnest(generate_series(0, 31)) AS k) kk
+        GROUP BY doc_id, k),
+    bands AS (
+        SELECT doc_id, k // 2 AS band,
+               STRING_AGG(CAST(sig AS VARCHAR), '_' ORDER BY k) AS bsig
+        FROM sigs GROUP BY doc_id, k // 2),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.id_a
+        JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+        GROUP BY c.id_a, c.id_b)
+    SELECT s.id_a, s.id_b,
+           CAST(FLOOR(s.shared * 1000000.0
+                / (sa.sz + sb.sz - s.shared)) AS BIGINT) AS jaccard_e6
+    FROM shared s JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE CAST(FLOOR(s.shared * 1000000.0
+               / (sa.sz + sb.sz - s.shared)) AS BIGINT) >= 200000"""
+
+
+def _simhash_oracle_sql() -> str:
+    """Full SQL replay of SimHash: 60-bit md5 token hashes, ±1 bit votes,
+    15-bit chunk banding, exact hamming via bit_count(xor(...))."""
+    return """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    toks AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
+            FROM docs) t WHERE LENGTH(w) > 0),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+           FROM toks),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hs, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) bb
+        GROUP BY doc_id, b),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS s
+        FROM votes GROUP BY doc_id),
+    chunks AS (
+        SELECT doc_id, s, c, (s >> (c * 15)) & 32767 AS csig
+        FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS c) cc),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               MIN(a.s) AS sig_a, MIN(b.s) AS sig_b
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.csig = b.csig AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 20"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(PORTABLE_SQL)
 
@@ -656,9 +738,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 300) AS BIGINT),
                  event_type"""
 
-    # minhash_lsh / simhash / embedding_dups / ann_ivf_topk / extract_windows:
-    # intentionally no oracle → rows-only checks (engine-specific signature,
-    # approximate, or pixel-path covered by pytest parity).
+    o["minhash_lsh"] = _minhash_oracle_sql()
+    o["simhash"] = _simhash_oracle_sql()
+
+    # embedding_dups / ann_ivf_topk / extract_windows: intentionally no
+    # oracle → rows-only checks (driver-closure plane weights, approximate,
+    # or pixel-path covered by pytest parity vs the numpy oracle).
     return o
 
 
