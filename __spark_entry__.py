@@ -685,6 +685,36 @@ def _simhash_oracle_sql() -> str:
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 20"""
 
 
+def _embedding_dups_oracle_sql(n_planes: int = 6,
+                               threshold: float = 0.80) -> str:
+    """SQL replay of the sign-projection LSH + exact-cosine dedup.  The
+    deterministic ±1 plane weights (md5 of "plane:dim") are computed here
+    and inlined as literals — identical to the engine's closure."""
+    import hashlib as _h
+    dim = 64  # embeddings table schema: array<float>[64]
+    planes = []
+    for pl in range(n_planes):
+        w = [1.0 if _h.md5(f"{pl}:{d}".encode()).digest()[0] % 2 else -1.0
+             for d in range(dim)]
+        planes.append("[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]")
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[pl]}) >= 0 "
+        f"THEN {1 << pl} ELSE 0 END)" for pl in range(n_planes))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+               CAST(FLOOR(list_dot_product(a.v, b2.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b2.v, b2.v)))
+                    * 1000000.0) AS BIGINT) AS cos_e6
+        FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, cos_e6 FROM cand
+    WHERE cos_e6 >= {int(threshold * 1e6)}"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(PORTABLE_SQL)
 
@@ -740,10 +770,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["minhash_lsh"] = _minhash_oracle_sql()
     o["simhash"] = _simhash_oracle_sql()
+    o["embedding_dups"] = _embedding_dups_oracle_sql()
 
-    # embedding_dups / ann_ivf_topk / extract_windows: intentionally no
-    # oracle → rows-only checks (driver-closure plane weights, approximate,
-    # or pixel-path covered by pytest parity vs the numpy oracle).
+    # ann_ivf_topk / extract_windows: intentionally no oracle → rows-only
+    # checks (approximate by design; pixel-path covered by pytest parity
+    # against the numpy oracle).
     return o
 
 

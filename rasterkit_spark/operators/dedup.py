@@ -333,7 +333,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 # ---------------------------------------------------------------------------
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Exact cosine via higher-order functions (JVM-side, no UDF)."""
+    """Exact cosine via higher-order functions (JVM-side, no UDF).
+
+    Inputs are cast to array<double> first: float32 element products would
+    lose precision differently from any SQL oracle replaying the math."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
