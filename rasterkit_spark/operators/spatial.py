@@ -274,12 +274,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         w = Window.partitionBy("qid_").orderBy("dist", "nbr_id")
         topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
-        # certificate: Kth distance within the guaranteed-covered radius
+        # certificate: Kth distance strictly inside the guaranteed-covered
+        # radius.  Strict (<) because an unexplored point can sit at
+        # *exactly* ring·min_extent when coordinates land on cell edges —
+        # with ≤ it could tie the Kth candidate and win the id tie-break.
         certified_radius = ring * min_extent
         stats = topk.groupBy("qid_").agg(
             F.max("dist").alias("kth_dist"), F.count("*").alias("n_cand"))
         done_ids = stats.filter(
-            (F.col("n_cand") >= k) & (F.col("kth_dist") <= certified_radius)
+            (F.col("n_cand") >= k) & (F.col("kth_dist") < certified_radius)
         ).select("qid_")
         # queries with fewer candidates than k but a full-frame ring are done
         full_frame = ring >= n
