@@ -425,6 +425,31 @@ SELECT zone_id, COUNT(*) AS n_points, MIN(id) AS min_id, MAX(id) AS max_id
 FROM inside GROUP BY zone_id
 """
 
+# A5 pyramid analog: synthesize a 64×48 pixel grid, 2×2 box-reduce with
+# floor-average (kernels.box_reduce_2x2 semantics) — generator syntax
+# differs per engine, the reduce arithmetic is shared and integer-exact.
+_PYRAMID_TAIL = """
+    SELECT CAST(FLOOR(CAST(x AS DOUBLE) / 2) AS BIGINT) AS px,
+           CAST(FLOOR(CAST(y AS DOUBLE) / 2) AS BIGINT) AS py,
+           CAST(FLOOR(SUM((x * 7 + y * 13) % 256)
+                / CAST(4 AS DOUBLE)) AS BIGINT) AS v1
+    FROM pixels
+    WHERE x < 64 AND y < 48
+    GROUP BY CAST(FLOOR(CAST(x AS DOUBLE) / 2) AS BIGINT),
+             CAST(FLOOR(CAST(y AS DOUBLE) / 2) AS BIGINT)"""
+
+# §4 LOD selection: level = clamp(floor(log2(max(target/pixel, 1))), 0, 2)
+_LOD_BODY = """
+    WITH r AS (SELECT p_partkey AS rid,
+                      CAST((p_partkey % 3 + 1) * 50 AS DOUBLE) AS pixel_s,
+                      CAST((p_partkey % 7 + 1) * 60 AS DOUBLE) AS target_res
+               FROM part)
+    SELECT rid,
+           LEAST(GREATEST(CAST(FLOOR(LOG2(GREATEST(target_res / pixel_s,
+                 CAST(1 AS DOUBLE)))) AS BIGINT), 0), 2) AS level
+    FROM r"""
+
+
 # tile-range join — explode syntax differs per engine
 _TILE_RANGE_CTE = f"""
         WITH regions AS ({_REGIONS}),
@@ -468,6 +493,15 @@ def _q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PIP_BODY.format(
         PTS=_PTS, ZONES=_ZONES,
         EDGE_GEN="LATERAL VIEW explode(sequence(0, 3)) t AS e"))
+
+
+def _q_pyramid_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql("""
+    WITH pixels AS (
+        SELECT x, y FROM (SELECT 1 AS one) t
+        LATERAL VIEW explode(sequence(0, 63)) tx AS x
+        LATERAL VIEW explode(sequence(0, 47)) ty AS y)""" + _PYRAMID_TAIL)
 
 
 def _q_tile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(body) for name, body in PORTABLE_SQL.items()}
     q["tile_range_join"] = _q_tile_range
+    q["pyramid_reduce"] = _q_pyramid_reduce
+    q["lod_selection"] = _sql_query(_LOD_BODY)
     q["pip_polygon_join"] = _q_pip_polygon
     q["knn_join"] = _q_knn
     q["token_count"] = _q_token_count       # package op (portable formulas)
@@ -724,6 +760,14 @@ def oracle_sql() -> dict[str, str]:
             LATERAL (SELECT unnest(generate_series(sy, ey - 1)) AS ty) ty,
             LATERAL (SELECT unnest(generate_series(sx, ex - 1)) AS tx) tx)""" + \
         _TILE_RANGE_TAIL
+
+    o["pyramid_reduce"] = """
+    WITH pixels AS (
+        SELECT tx.x, ty.y
+        FROM LATERAL (SELECT unnest(generate_series(0, 63)) AS x) tx,
+             LATERAL (SELECT unnest(generate_series(0, 47)) AS y) ty)""" + \
+        _PYRAMID_TAIL
+    o["lod_selection"] = _LOD_BODY
 
     o["pip_polygon_join"] = _PIP_BODY.format(
         PTS=_PTS, ZONES=_ZONES,

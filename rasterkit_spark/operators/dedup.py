@@ -80,19 +80,27 @@ def exact_dup_pairs(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                         n: int = 5, text_col: str = "text",
                         id_col: str = "doc_id",
-                        use_words: bool = False) -> DataFrame:
+                        use_words: bool = False,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingle sets.
 
     inverted index: explode distinct shingles → self-join on shingle →
     count shared → |A∪B| = |A|+|B|−shared.  Output jaccard scaled ×1e6
-    (floor) for float-free comparison.  At corpus scale, cap ultra-frequent
-    shingles before the join (they contribute pairs quadratically)."""
+    (floor) for float-free comparison.  ``max_doc_freq`` caps ultra-frequent
+    shingles before the self-join (they contribute pairs quadratically) —
+    leave None for exact semantics (the oracle-checked default); set it at
+    corpus scale where dropping stop-shingles is the standard trade."""
     from ..session import ensure_parallelism
     docs = ensure_parallelism(docs)
-    sh = F.explode(F.array_distinct(
-        (word_shingles if use_words else shingles)(F.col(text_col), n)))
-    tok = docs.select(F.col(id_col).alias("id"), sh.alias("shingle"))
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_set_udf(n, use_words)(F.col(text_col)))
+         .alias("shingle"))
     sizes = tok.groupBy("id").agg(F.count("*").alias("set_size"))
+    if max_doc_freq is not None:
+        hot = (tok.groupBy("shingle").count()
+               .filter(F.col("count") > max_doc_freq).select("shingle"))
+        tok = tok.join(F.broadcast(hot), "shingle", "left_anti")
     a = tok.select(F.col("id").alias("id_a"), "shingle")
     b = tok.select(F.col("id").alias("id_b"), "shingle")
     shared = (a.join(b, "shingle")
