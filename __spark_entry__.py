@@ -751,6 +751,30 @@ def _embedding_dups_oracle_sql(n_planes: int = 6,
     WHERE cos_e6 >= {int(threshold * 1e6)}"""
 
 
+def _extract_oracle_sql() -> str:
+    """VALUES-literal oracle for the flagship extraction query.
+
+    The expected rows come from the pure-numpy fixture oracle
+    (rasterkit_spark/fixtures/oracle.py) — an independent, driver-side
+    implementation of region resolution + tile assignment + decode +
+    clip (no Spark involved) — evaluated on the same deterministic
+    corpus ``_q_extract_fixture`` builds, then inlined as literals so
+    DuckDB can serve them."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.fixtures import oracle as OR
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    exp = OR.expected_all_bbox(c)
+    vals = ",\n      ".join(
+        f"('{r.query_id}', '{r.media_ref}', {int(r.region_x)},"
+        f" {int(r.region_y)}, {int(r.region_w)}, {int(r.region_h)},"
+        f" '{r.window_sha256}')"
+        for r in exp.itertuples())
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(query_id, media_ref, region_x, region_y, region_w, region_h,
+           window_sha256)"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(PORTABLE_SQL)
 
@@ -815,10 +839,7 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_lsh"] = _minhash_oracle_sql()
     o["simhash"] = _simhash_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
-
-    # ann_ivf_topk / extract_windows: intentionally no oracle → rows-only
-    # checks (approximate by design; pixel-path covered by pytest parity
-    # against the numpy oracle).
+    o["extract_windows"] = _extract_oracle_sql()
     return o
 
 

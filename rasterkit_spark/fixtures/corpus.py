@@ -15,6 +15,7 @@ media refs drawn Zipf(α=1.2) so some refs (hence some cells) are hot.
 from __future__ import annotations
 
 import hashlib
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -23,6 +24,101 @@ import pandas as pd
 from .. import kernels as K
 
 SEED = 42
+
+# Explicit Spark schemas for every fixture table.  Bare
+# ``spark.createDataFrame(pdf)`` infers types from the data, and an all-None
+# column (e.g. queries_bbox.radius_m — every bbox row carries radius_m=None)
+# raises CANNOT_DETERMINE_TYPE on sessions without the Arrow fallback
+# (the round-1 driver gate crash).  The DDL strings below pin a concrete
+# type for every column so conversion never depends on the data.
+_SCHEMAS = {
+    "media_catalog": (
+        "media_ref string, media_kind string, width int, height int,"
+        " tile_w int, tile_h int, rows_per_strip int, epsg int,"
+        " pixel_sx double, pixel_sy double, origin_x double, origin_y double,"
+        " compression int, predictor int, nodata string, bits_per_sample int,"
+        " samples_per_pixel int, geometry_wkt string"
+    ),
+    "tiles": (
+        "media_ref string, level int, tile_x int, tile_y int, tile_idx int,"
+        " blob binary, byte_count int"
+    ),
+    "docs": (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    ),
+    "colormaps": (
+        "cmap_id string, map_type string, value int, r int, g int, b int,"
+        " label string"
+    ),
+    "queries_bbox": (
+        "query_id string, media_ref string, minx double, miny double,"
+        " maxx double, maxy double, crs int, proj int, filter_lo int,"
+        " filter_hi int, filter_transparency boolean, cmap_id string,"
+        " shape string, radius_m double"
+    ),
+    "queries_point": (
+        "query_id string, media_ref string, x double, y double,"
+        " radius_m double, shape string, crs int, proj int, filter_lo int,"
+        " filter_hi int, filter_transparency boolean, cmap_id string, k int"
+    ),
+    "queries_polygon": "query_id string, polygon_wkt string, crs int, k int",
+    "zones": "zone_id string, polygon_wkt string, epsg int",
+}
+
+_INT_TYPES = (int, np.integer)
+_FLOAT_TYPES = (float, np.floating)
+
+
+def _py(v, kind: str):
+    """Numpy scalar / NaN → plain-Python value of the schema's type.
+
+    pandas widens int columns containing None to float64 (``proj`` becomes
+    3857.0/NaN), and Spark's schema verifier rejects floats for IntegerType
+    — so coercion must follow the declared column type, not the pandas one.
+    """
+    if v is None:
+        return None
+    if isinstance(v, _FLOAT_TYPES) and math.isnan(float(v)):
+        return None
+    if kind == "int":
+        return int(v)
+    if kind == "double":
+        return float(v)
+    if kind == "boolean":
+        return bool(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, _INT_TYPES):
+        return int(v)
+    if isinstance(v, _FLOAT_TYPES):
+        return float(v)
+    return v
+
+
+def _col_kinds(ddl: str) -> list[str]:
+    """Column base types from a flat DDL string (``array<…>`` has no
+    top-level commas in our schemas' nesting — split is on ', ' pairs)."""
+    kinds = []
+    depth = 0
+    piece = ""
+    for ch in ddl + ",":
+        if ch == "," and depth == 0:
+            name_type = piece.strip().split(None, 1)
+            kinds.append(name_type[1].strip().lower())
+            piece = ""
+            continue
+        depth += ch in "<("
+        depth -= ch in ">)"
+        piece += ch
+    return kinds
+
+
+def _records(pdf: pd.DataFrame, ddl: str):
+    kinds = _col_kinds(ddl)
+    assert len(kinds) == len(pdf.columns), (kinds, list(pdf.columns))
+    return [tuple(_py(v, k) for v, k in zip(row, kinds))
+            for row in pdf.itertuples(index=False, name=None)]
 
 _WORDS = ("the raster tile span doc joins scan merge cell index zonal knn "
           "window clip region bbox mercator pixel strip overview colormap "
@@ -59,7 +155,8 @@ class Corpus:
                                "queries_bbox", "queries_point",
                                "queries_polygon", "zones"]):
             pdf = getattr(self, name)
-            out[name] = spark.createDataFrame(pdf)
+            ddl = _SCHEMAS[name]
+            out[name] = spark.createDataFrame(_records(pdf, ddl), ddl)
         return out
 
 
