@@ -571,7 +571,8 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("embeddings")
     q = e.filter("vec_id % 50 = 0").select(
         F.col("vec_id").alias("qid"), "embedding")
-    return SIM.ivf_topk(e, q, 5, n_lists=8, nprobe=4)
+    return SIM.ivf_topk(e, q, 5, n_lists=8, nprobe=4).select(
+        "qid", "nbr_id", "rank")
 
 
 def _q_quality(spark, sf_dir):
@@ -751,6 +752,68 @@ def _embedding_dups_oracle_sql(n_planes: int = 6,
     WHERE cos_e6 >= {int(threshold * 1e6)}"""
 
 
+def _ann_ivf_oracle_sql(n_lists: int = 8, nprobe: int = 4, k: int = 5) -> str:
+    """Full SQL replay of the IVF index: the converged k-means centroids
+    are re-fit here from the same deterministic sample the engine uses
+    (first 2000 vectors by vec_id, identical numpy fit) and inlined as
+    literals; assignment + probing run in the same exact integer-grid
+    arithmetic (×2^16 quantization, int64 distances, list_id tie-break),
+    so list membership matches the engine bit-for-bit; scoring replays
+    floor(cos×1e6) like the cosine_topk oracle."""
+    import duckdb as _dd
+    import numpy as _np
+
+    from rasterkit_spark.operators.similarity import (QUANT_SCALE,
+                                                      _kmeans_fit, quantize)
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = _dd.connect()
+    emb = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 2000").df()
+    sample = _np.array([_np.asarray(v, dtype=_np.float64)
+                        for v in emb["embedding"]])
+    cents = _kmeans_fit(sample, n_lists, seed=42)
+    cq = quantize(cents).astype(_np.int64)
+    cent_rows = ",\n      ".join(
+        f"({lid}, [{', '.join(str(int(x)) for x in cq[lid])}]::DOUBLE[])"
+        for lid in range(len(cq)))
+    return f"""
+    WITH c(list_id, cq) AS (VALUES
+      {cent_rows}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_transform(embedding::DOUBLE[],
+                                x -> floor(x * {QUANT_SCALE}.0 + 0.5)) AS vq
+          FROM embeddings),
+    ad AS (SELECT e.vec_id, e.v, c.list_id,
+                  list_dot_product(e.vq, e.vq) - 2 * list_dot_product(e.vq, c.cq)
+                  + list_dot_product(c.cq, c.cq) AS d
+           FROM e CROSS JOIN c),
+    asn AS (SELECT vec_id, v, list_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d, list_id) AS rn
+              FROM ad) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv, vq AS qvq FROM e WHERE vec_id % 50 = 0),
+    qd AS (SELECT q.qid, q.qv, c.list_id,
+                  list_dot_product(q.qvq, q.qvq) - 2 * list_dot_product(q.qvq, c.cq)
+                  + list_dot_product(c.cq, c.cq) AS d
+           FROM q CROSS JOIN c),
+    probes AS (SELECT qid, qv, list_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY d, list_id) AS rn
+              FROM qd) WHERE rn <= {nprobe}),
+    cand AS (SELECT p.qid, a.vec_id AS nbr_id,
+                    CAST(FLOOR(list_dot_product(p.qv, a.v)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(a.v, a.v)))
+                         * 1000000.0) AS BIGINT) AS cos_e6
+             FROM probes p JOIN asn a ON a.list_id = p.list_id),
+    r AS (SELECT qid, nbr_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_e6 DESC, nbr_id) AS rank
+          FROM cand)
+    SELECT qid, nbr_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"""
+
+
 def _extract_oracle_sql() -> str:
     """VALUES-literal oracle for the flagship extraction query.
 
@@ -840,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["extract_windows"] = _extract_oracle_sql()
+    o["ann_ivf_topk"] = _ann_ivf_oracle_sql()
     return o
 
 

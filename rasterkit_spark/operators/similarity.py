@@ -116,6 +116,29 @@ def _kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 5,
     return cents
 
 
+QUANT_SCALE = 65536  # 2^16: |v| < 1 ⇒ |vq| < 2^16, 64-dim ∑(Δ²) < 2^40 ≪ 2^53
+
+
+def quantize(v: np.ndarray, scale: int = QUANT_SCALE) -> np.ndarray:
+    """floor(v·scale + 0.5) — NOT round(): numpy rounds half-to-even while
+    SQL engines round half-away, so the shared grid must use floor(+0.5)
+    (the convention every cross-engine kernel in this repo uses)."""
+    return np.floor(np.asarray(v, dtype=np.float64) * scale + 0.5)
+
+
+def fit_centroids(embeddings: DataFrame, n_lists: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  sample_rows: int = 2000, seed: int = 42) -> np.ndarray:
+    """Deterministic centroid fit: the sample is the first ``sample_rows``
+    vectors by ``id_col`` (orderBy before limit — a bare limit is
+    partitioning-dependent), k-means in float64.  Any process reading the
+    same table gets bit-identical centroids (the oracle relies on this)."""
+    rows = (embeddings.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_rows).collect())
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    return _kmeans_fit(sample, n_lists, seed=seed)
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
              n_lists: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -125,31 +148,37 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
 
     Scale behavior: the expensive exact scoring touches only
     ~nprobe/n_lists of the corpus per query; assignment is one narrow
-    Arrow-batched pass; centroids are broadcast (tiny)."""
-    sample = np.array(
-        [r[0] for r in embeddings.select(vec_col).limit(sample_rows).collect()],
-        dtype=np.float64)
-    cents = _kmeans_fit(sample, n_lists, seed=seed)
-    bc = cents  # captured in closures (small)
+    Arrow-batched pass; centroids are broadcast (tiny).
+
+    Determinism: vectors and centroids are quantized to an integer grid
+    (×2^16) and assignment/probing argmins run in exact int64 arithmetic
+    with list_id tie-break — so list membership is reproducible across
+    engines and partitionings (no float-summation-order boundary flips),
+    and the whole operator is DuckDB-oracle-checkable."""
+    cents = fit_centroids(embeddings, n_lists, id_col, vec_col,
+                          sample_rows, seed)
+    cq = quantize(cents).astype(np.int64)  # captured in closures (small)
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(IntegerType())
     def assign_udf(v: pd.Series) -> pd.Series:
-        m = np.stack(v.to_numpy())
-        d = ((m[:, None, :] - bc[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1).astype(np.int32))
+        m = quantize(np.stack(v.to_numpy())).astype(np.int64)
+        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype(np.int32))  # first-min = low id
 
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
                           F.col(vec_col).alias("v"),
                           assign_udf(F.col(vec_col)).alias("list_id"))
 
-    q_rows = queries.select(qid_col, qvec_col).collect()
+    q_rows = queries.select(qid_col, qvec_col).collect()  # Q is small by
+    # contract (probe side); corpus-scale query tables should go through
+    # the same assign_udf + a list_id equi-join instead.
     probe_rows = []
     for r in q_rows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        d = ((bc - qv[None, :]) ** 2).sum(-1)
-        for lid in np.argsort(d)[:nprobe]:
+        qq = quantize(np.asarray(r[1])).astype(np.int64)
+        d = ((cq - qq[None, :]) ** 2).sum(-1)
+        for lid in np.argsort(d, kind="stable")[:nprobe]:
             probe_rows.append((r[0], list(map(float, r[1])), int(lid)))
     spark = embeddings.sparkSession
     probes = spark.createDataFrame(probe_rows, ["qid", "qv", "list_id"])

@@ -13,6 +13,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as ENTRY  # noqa: E402
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+# data-dependent oracle generators (ann_ivf centroids) read this env var —
+# pin it so both engines see the same tables even when it wasn't set
+os.environ["ORACLE_SF_DIR"] = SF_DIR
 
 
 def _duck():
