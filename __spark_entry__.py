@@ -551,7 +551,8 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
-    return DD.embedding_dup_pairs(spark.table("embeddings"), 0.80, n_planes=6)
+    return DD.embedding_dup_pairs(spark.table("embeddings"), 0.80,
+                                  n_bands=12, band_planes=6, dim=64)
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,33 +723,50 @@ def _simhash_oracle_sql() -> str:
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 20"""
 
 
-def _embedding_dups_oracle_sql(n_planes: int = 6,
-                               threshold: float = 0.80) -> str:
-    """SQL replay of the sign-projection LSH + exact-cosine dedup.  The
+def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
+                               threshold: float = 0.80,
+                               quant_scale: int = 65536) -> str:
+    """SQL replay of the banded hyperplane LSH + exact-cosine dedup.  The
     deterministic ±1 plane weights (md5 of "plane:dim") are computed here
-    and inlined as literals — identical to the engine's closure."""
-    import hashlib as _h
+    and inlined as literals — identical to the engine's closure — and the
+    projections run on the same ×2^16 integer grid, so band signatures
+    match the engine bit-for-bit."""
+    from rasterkit_spark.operators.dedup import hyperplane_weights
     dim = 64  # embeddings table schema: array<float>[64]
-    planes = []
-    for pl in range(n_planes):
-        w = [1.0 if _h.md5(f"{pl}:{d}".encode()).digest()[0] % 2 else -1.0
-             for d in range(dim)]
-        planes.append("[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]")
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {planes[pl]}) >= 0 "
-        f"THEN {1 << pl} ELSE 0 END)" for pl in range(n_planes))
+    B, R = n_bands, band_planes
+    W = hyperplane_weights(B * R, dim)
+    band_exprs = []
+    for t in range(B):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(vq, "
+            f"[{', '.join(str(int(x)) for x in W[t * R + p])}]::DOUBLE[])"
+            f" >= 0 THEN {1 << p} ELSE 0 END)" for p in range(R))
+        band_exprs.append(f"({bits})")
+    sig_list = ",\n           ".join(band_exprs)
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      list_transform(embedding::DOUBLE[],
+                                     x -> floor(x * {quant_scale}.0 + 0.5)) AS vq
+               FROM embeddings),
+    sigs AS (SELECT vec_id, v,
+          [{sig_list}] AS bsigs
+        FROM e),
+    bands AS (SELECT vec_id, i AS band, bsigs[i + 1] AS bsig
+              FROM sigs, LATERAL (SELECT unnest(generate_series(0, {B - 1}))
+                                  AS i) t),
     cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
-               CAST(FLOOR(list_dot_product(a.v, b2.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b2.v, b2.v)))
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(FLOOR(list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v))
+                       * sqrt(list_dot_product(eb.v, eb.v)))
                     * 1000000.0) AS BIGINT) AS cos_e6
-        FROM b a JOIN b b2
-          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-    SELECT id_a, id_b, cos_e6 FROM cand
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, cos_e6 FROM scored
     WHERE cos_e6 >= {int(threshold * 1e6)}"""
 
 

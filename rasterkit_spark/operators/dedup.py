@@ -19,6 +19,8 @@ Scale notes (10¹²-doc design point):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 MERSENNE_61 = (1 << 61) - 1
@@ -26,8 +28,8 @@ MERSENNE_61 = (1 << 61) - 1
 
 def md5_int(c: Column) -> Column:
     """Portable 60-bit int from md5 (first 15 hex digits).  DuckDB replay:
-    CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) — wait, DuckDB uses
-    from_hex semantics; the harness uses the same conv-from-hex form."""
+    ('0x' || substr(md5(x), 1, 15))::BIGINT — hex-literal cast semantics,
+    identical to Spark's conv(hex, 16, 10)."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
@@ -356,44 +358,73 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def hyperplane_weights(n_planes: int, dim: int) -> "np.ndarray":
+    """Deterministic ±1 hyperplane family: weight(g, d) = +1 iff the first
+    md5 byte of "g:d" is odd (g = global plane index).  Replayable as SQL
+    literals — the oracle inlines the same matrix."""
+    import hashlib as _h
+    return np.array(
+        [[1 if _h.md5(f"{g}:{d}".encode()).digest()[0] % 2 else -1
+          for d in range(dim)] for g in range(n_planes)], dtype=np.int64)
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        n_planes: int = 8) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold.
+                        n_bands: int = 12, band_planes: int = 6,
+                        dim: int | None = None,
+                        quant_scale: int = 65536) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold — banded hyperplane LSH.
 
-    Bucketing: sign-of-projection LSH onto ``n_planes`` deterministic
-    pseudo-random hyperplanes (seeded per plane from the dimension index) —
-    any single-plane-band match makes a candidate; exact cosine verifies.
-    The plane family uses deterministic ±1 weights from md5 of
-    (plane, dim), replayable in SQL."""
-    dim_count = len(embeddings.select(vec_col).first()[0])
-    import hashlib as _h
+    Candidates: OR-amplified over ``n_bands`` bands of ``band_planes``
+    sign-of-projection bits each — two vectors are candidates iff ALL
+    ``band_planes`` bits agree in AT LEAST ONE band.  Exact cosine then
+    verifies every candidate, so precision is exact; the bands only decide
+    recall.  At the defaults (12×6) a cos=0.8 pair (per-plane collision
+    p = 1 − θ/π ≈ 0.795) survives with 1 − (1 − 0.795⁶)¹² ≈ 0.97.
 
-    def plane_weights(p):
-        return [1.0 if _h.md5(f"{p}:{d}".encode()).digest()[0] % 2 else -1.0
-                for d in range(dim_count)]
+    Scale: per-band signatures give 2^band_planes buckets per band and the
+    join is candidate-driven — distinct (id_a, id_b) pairs first, vectors
+    fetched only for verification (never an all-pairs within one global
+    bucket).  At corpus scale raise ``band_planes`` (16–20) and ``n_bands``
+    to hold bucket sizes O(1); the defaults target the test corpus.
+
+    Projections run on an integer grid (vectors quantized ×quant_scale,
+    ±1 weights, exact int64 dot) so band signatures are bit-reproducible
+    across engines — no float-summation-order flips near sign boundaries.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    B, R = n_bands, band_planes
+    W = hyperplane_weights(B * R, dim)  # (B*R, dim) of ±1, tiny — closure
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_sigs(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        vq = np.floor(M * quant_scale + 0.5).astype(np.int64)
+        bits = (vq @ W.T >= 0).astype(np.int64)      # (n, B*R)
+        sigs = np.zeros((len(M), B), dtype=np.int64)
+        for t in range(B):
+            for p in range(R):
+                sigs[:, t] |= bits[:, t * R + p] << p
+        return pd.Series(list(sigs))
 
     e = embeddings.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("v"))
-    sig_bits = []
-    for p in range(n_planes):
-        w = plane_weights(p)
-        proj = F.aggregate(
-            F.zip_with(F.col("v"),
-                       F.array(*[F.lit(x) for x in w]).cast("array<double>"),
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        sig_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    sig = sum((b * (1 << i) for i, b in enumerate(sig_bits)),
-              F.lit(0)).alias("bucket")
-    bucketed = e.select("id", "v", sig)
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                        "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                        "bucket")
-    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    bands = e.select("id", F.posexplode(band_sigs(F.col("v")))
+                     .alias("band", "bsig"))
+    a = bands.select(F.col("id").alias("id_a"), "band", "bsig")
+    b = bands.select(F.col("id").alias("id_b"), "band", "bsig")
+    cand = (a.join(b, ["band", "bsig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     cos = cosine_sim(F.col("v_a"), F.col("v_b"))
-    return (cand.withColumn("cos_e6", F.floor(cos * 1e6).cast("long"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos_e6", F.floor(cos * 1e6).cast("long"))
             .filter(F.col("cos_e6") >= int(threshold * 1e6))
-            .select("id_a", "id_b", "cos_e6").dropDuplicates(["id_a", "id_b"]))
+            .select("id_a", "id_b", "cos_e6"))

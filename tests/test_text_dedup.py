@@ -121,7 +121,7 @@ def test_simhash_pairs(spark, near_dup_docs):
 
 def test_embedding_dup_pairs_verified(spark, embeddings):
     e = embeddings.limit(120)
-    got = DD.embedding_dup_pairs(e, 0.95, n_planes=6).toPandas()
+    got = DD.embedding_dup_pairs(e, 0.95, dim=64).toPandas()
     # verify every emitted pair with numpy cosine
     pdf = e.toPandas().set_index("vec_id")
     for r in got.itertuples():
@@ -130,6 +130,54 @@ def test_embedding_dup_pairs_verified(spark, embeddings):
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert int(np.floor(cos * 1e6)) >= int(0.95 * 1e6)
         assert int(np.floor(cos * 1e6)) == r.cos_e6
+
+
+def _seeded_near_dup_embeddings(n_base=200, n_dups=60, dim=64, seed=7):
+    """Base gaussians + near-dups planted at exact cosine in [0.82, 0.95]:
+    v' = cosθ·u + sinθ·w⊥ (w⊥ a random unit vector orthogonalized to u)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i]) for i in range(n_base)]
+    truth = set()
+    for j in range(n_dups):
+        i = j % n_base
+        u = base[i]
+        target = rng.uniform(0.82, 0.95)
+        w = rng.standard_normal(dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = target * u + np.sqrt(1 - target ** 2) * w
+        rows.append((n_base + j, v))
+        truth.add((i, n_base + j))
+    return rows, truth
+
+
+def test_embedding_dup_recall_banded(spark):
+    """Banded LSH (12 bands × 6 planes, OR-amplified) recovers ≥0.9 of the
+    planted cos≥0.82 pairs; a single full-signature table at the same
+    plane budget per band (the pre-banding scheme) provably cannot —
+    its expected recall is the one-band survival, ≈0.27."""
+    rows, truth = _seeded_near_dup_embeddings()
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [list(map(float, r[1])) for r in rows]})
+    e = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    got = DD.embedding_dup_pairs(e, 0.80, dim=64).toPandas()
+    found = {(min(a, b), max(a, b)) for a, b in zip(got.id_a, got.id_b)}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"banded recall {recall:.2f}"
+
+    # the old single-table scheme, simulated in numpy: candidates must match
+    # the FULL 6-bit signature of band 0 — same planes, no OR amplification
+    W = DD.hyperplane_weights(6, 64)
+    M = np.stack([r[1] for r in rows])
+    vq = np.floor(M * 65536.0 + 0.5).astype(np.int64)
+    bits = (vq @ W.T >= 0).astype(np.int64)
+    sig = (bits * (1 << np.arange(6))).sum(1)
+    old_found = {p for p in truth if sig[p[0]] == sig[p[1]]}
+    old_recall = len(old_found) / len(truth)
+    assert old_recall < 0.6, f"single-table recall unexpectedly {old_recall:.2f}"
+    assert recall > old_recall
 
 
 def test_cosine_topk_matches_numpy(spark, embeddings):
