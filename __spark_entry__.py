@@ -613,6 +613,32 @@ def _q_extract_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "region_w", "region_h", "window_sha256")
 
 
+def _q_zonal_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector zonal statistics on the fixture corpus: footprint
+    cover-cell pre-join, per-tile PIP-masked partials, groupBy reduce."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import spatial as SP
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    sdfs = c.to_spark(spark, ["zones", "media_catalog", "tiles"])
+    return SP.zonal_stats(sdfs["zones"], sdfs["media_catalog"],
+                          sdfs["tiles"])
+
+
+def _zonal_raster_oracle_sql() -> str:
+    """VALUES-literal oracle: expected rows from the independent numpy
+    replay (fixtures/oracle.expected_zonal) on the same corpus."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.fixtures import oracle as OR
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    exp = OR.expected_zonal(c)
+    vals = ",\n      ".join(
+        f"('{r.zone_id}', '{r.media_ref}', {int(r.zmin)}, {int(r.zmax)},"
+        f" {int(r.zsum)}, {int(r.zcount)})" for r in exp.itertuples())
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(zone_id, media_ref, zmin, zmax, zsum, zcount)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(body) for name, body in PORTABLE_SQL.items()}
@@ -631,7 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = _q_simhash                # rows-only
     q["embedding_dups"] = _q_embedding_dups  # rows-only
     q["ann_ivf_topk"] = _q_ann_ivf           # rows-only (approximate)
-    q["extract_windows"] = _q_extract_fixture  # rows-only (pytest parity)
+    q["extract_windows"] = _q_extract_fixture
+    q["zonal_stats_raster"] = _q_zonal_raster
     q["events_tumbling_window"] = _sql_query("""
         SELECT CAST(FLOOR(CAST(unix_timestamp(ts) AS DOUBLE) / 300) AS BIGINT) AS win,
                event_type, COUNT(*) AS n,
@@ -921,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["extract_windows"] = _extract_oracle_sql()
+    o["zonal_stats_raster"] = _zonal_raster_oracle_sql()
     o["ann_ivf_topk"] = _ann_ivf_oracle_sql()
     return o
 

@@ -100,6 +100,74 @@ def expected_all_bbox(corpus: Corpus) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+MERC_LIMIT = 20037508.342789244  # functions/cells.py grid frame
+
+
+def _grid_range(lo: float, hi: float, res: int) -> tuple[int, int]:
+    """numpy twin of functions/cells.grid_ix over a [lo, hi] extent."""
+    n = 1 << res
+    def ix(x):
+        return int(min(max(np.floor((x + MERC_LIMIT) / (2 * MERC_LIMIT) * n),
+                           0), n - 1))
+    return ix(lo), ix(hi)
+
+
+def expected_zonal(corpus: Corpus, res: int = 6) -> pd.DataFrame:
+    """Independent numpy replay of operators/spatial.zonal_stats: cover-cell
+    footprint pairing (two bboxes pair iff their res-``res`` Mercator cell
+    ranges intersect — identical to sharing ≥1 cover cell), region via the
+    shared kernels, PIP mask on ground-truth pixels, min/max/sum/count."""
+    from ..operators.spatial import parse_wkt_polygon
+    rows = []
+    rasters = corpus.media_catalog[corpus.media_catalog.media_kind == "raster"]
+    for z in corpus.zones.itertuples():
+        xs, ys = parse_wkt_polygon(z.polygon_wkt)
+        minx, maxx, miny, maxy = min(xs), max(xs), min(ys), max(ys)
+        zmx = K.wgs84_to_webmercator(np.array([minx, maxx]),
+                                     np.array([miny, maxy]))
+        zxr = _grid_range(zmx[0][0], zmx[0][1], res)
+        zyr = _grid_range(zmx[1][0], zmx[1][1], res)
+        for c in rasters.itertuples():
+            bx0, by1 = c.origin_x, c.origin_y
+            bx1 = c.origin_x + c.width * c.pixel_sx
+            by0 = c.origin_y - c.height * c.pixel_sy
+            if int(c.epsg) == 3857:
+                mx0, my0, mx1, my1 = bx0, by0, bx1, by1
+            else:
+                (mx0, mx1), (my0, my1) = K.wgs84_to_webmercator(
+                    np.array([bx0, bx1]), np.array([by0, by1]))
+            rxr = _grid_range(mx0, mx1, res)
+            ryr = _grid_range(my0, my1, res)
+            if rxr[1] < zxr[0] or zxr[1] < rxr[0] or \
+               ryr[1] < zyr[0] or zyr[1] < ryr[0]:
+                continue  # no shared cover cell → pair absent by contract
+            rx, ry, rw, rh = (int(v) for v in K.generic_crs_to_pixel_region(
+                minx, miny, maxx, maxy, c.origin_x, c.pixel_sx,
+                c.origin_y, -c.pixel_sy, c.width, c.height,
+                4326, int(c.epsg), None))
+            img = corpus.pixels[c.media_ref][0]
+            win = img[ry: ry + rh, rx: rx + rw]
+            gx = c.origin_x + (rx + np.arange(win.shape[1]) + 0.5) * c.pixel_sx
+            gy = c.origin_y - (ry + np.arange(win.shape[0]) + 0.5) * c.pixel_sy
+            mx, my = np.meshgrid(gx, gy)
+            if int(c.epsg) == 3857:
+                lon, lat = K.webmercator_to_wgs84(mx.ravel(), my.ravel())
+            else:
+                lon, lat = mx.ravel(), my.ravel()
+            inside = K.points_in_polygon(lon, lat, np.array(xs),
+                                         np.array(ys)).reshape(win.shape)
+            vals = win[inside]
+            if vals.size:
+                rows.append(dict(zone_id=z.zone_id, media_ref=c.media_ref,
+                                 zmin=int(vals.min()), zmax=int(vals.max()),
+                                 zsum=int(vals.sum(dtype=np.int64)),
+                                 zcount=int(vals.size)))
+            else:
+                rows.append(dict(zone_id=z.zone_id, media_ref=c.media_ref,
+                                 zmin=-1, zmax=-1, zsum=0, zcount=0))
+    return pd.DataFrame(rows)
+
+
 def oracle_window_check(corpus: Corpus) -> None:
     """Self-check: windows cut from tile blobs must equal direct slices of
     the ground-truth pixel array wherever the region is in-image (the

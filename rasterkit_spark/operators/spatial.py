@@ -326,56 +326,117 @@ ZONAL_SCHEMA = StructType([
 ])
 
 
-def _zonal_assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-    first = pdf.iloc[0]
-    rx, ry = int(first.region_x), int(first.region_y)
-    rw, rh = int(first.region_w), int(first.region_h)
-    cw, ch = int(first.chunk_w), int(first.chunk_h)
-    out = np.zeros((rh, rw), dtype=np.uint8)
-    seen = np.zeros((rh, rw), dtype=bool)
-    for row in pdf.itertuples():
-        chunk = K.decode_chunk(bytes(row.blob), int(first.compression),
-                               int(first.predictor), cw, ch)
-        K.clip_chunk_into(out, chunk, cw, ch,
-                          int(row.tile_x) * cw, int(row.tile_y) * ch,
-                          rx, ry, rw, rh)
-        K.clip_chunk_into(seen.view(np.uint8), np.ones_like(chunk), cw, ch,
-                          int(row.tile_x) * cw, int(row.tile_y) * ch,
-                          rx, ry, rw, rh)
-    # pixel centers in map coords (geotransform G8/G10 arithmetic)
-    ox, oy = float(first.origin_x), float(first.origin_y)
-    pw_, ph_ = float(first.pixel_sx), float(first.pixel_sy)
-    cols = ox + (rx + np.arange(rw) + 0.5) * pw_
-    rows_ = oy - (ry + np.arange(rh) + 0.5) * ph_
-    gx, gy = np.meshgrid(cols, rows_)
-    # polygon is in 4326: convert pixel centers if the raster is 3857
-    if int(first.epsg) == 3857:
-        lon, lat = K.webmercator_to_wgs84(gx.ravel(), gy.ravel())
-    else:
-        lon, lat = gx.ravel(), gy.ravel()
-    inside = K.points_in_polygon(
-        lon, lat, np.asarray(first.poly_xs), np.asarray(first.poly_ys)
-    ).reshape(rh, rw) & seen
-    vals = out[inside]
-    if vals.size == 0:
-        return pd.DataFrame([{"zone_id": first.zone_id,
-                              "media_ref": first.media_ref,
-                              "zmin": -1, "zmax": -1, "zsum": 0, "zcount": 0}])
-    return pd.DataFrame([{
-        "zone_id": first.zone_id, "media_ref": first.media_ref,
-        "zmin": int(vals.min()), "zmax": int(vals.max()),
-        "zsum": int(vals.sum(dtype=np.int64)), "zcount": int(vals.size)}])
+_ZONAL_PARTIAL_SCHEMA = StructType([
+    StructField("zone_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("pmin", LongType()),
+    StructField("pmax", LongType()),
+    StructField("psum", LongType()),
+    StructField("pcount", LongType()),
+])
 
 
-def zonal_stats(zones: DataFrame, catalog: DataFrame,
-                tiles: DataFrame) -> DataFrame:
+def _zonal_tile_partials(pdf_iter):
+    """mapInPandas: one partial (min/max/sum/count of the PIP-masked slice)
+    per (zone, raster, tile) row.  No zone×raster window is ever
+    materialized — peak memory is one decoded chunk — and there is no
+    group fan-in: rows are independent, the final reduce is a groupBy.
+    Pixel-center arithmetic is the exact expression the whole-window
+    path used (ox + (global_px + 0.5)·scale), so results are bit-equal."""
+    for pdf in pdf_iter:
+        out = []
+        for row in pdf.itertuples():
+            cw, ch = int(row.chunk_w), int(row.chunk_h)
+            chunk = K.decode_chunk(bytes(row.blob), int(row.compression),
+                                   int(row.predictor), cw, ch).reshape(-1, cw)
+            rx, ry = int(row.region_x), int(row.region_y)
+            rw, rh = int(row.region_w), int(row.region_h)
+            tx0, ty0 = int(row.tile_x) * cw, int(row.tile_y) * ch
+            gx0, gx1 = max(rx, tx0), min(rx + rw, tx0 + chunk.shape[1])
+            gy0, gy1 = max(ry, ty0), min(ry + rh, ty0 + chunk.shape[0])
+            if gx0 >= gx1 or gy0 >= gy1:
+                continue
+            sub = chunk[gy0 - ty0: gy1 - ty0, gx0 - tx0: gx1 - tx0]
+            ox, oy = float(row.origin_x), float(row.origin_y)
+            psx, psy = float(row.pixel_sx), float(row.pixel_sy)
+            cols = ox + (gx0 + np.arange(gx1 - gx0) + 0.5) * psx
+            rows_ = oy - (gy0 + np.arange(gy1 - gy0) + 0.5) * psy
+            gx, gy = np.meshgrid(cols, rows_)
+            # polygon is in 4326: convert centers if the raster is 3857
+            if int(row.epsg) == 3857:
+                lon, lat = K.webmercator_to_wgs84(gx.ravel(), gy.ravel())
+            else:
+                lon, lat = gx.ravel(), gy.ravel()
+            inside = K.points_in_polygon(
+                lon, lat, np.asarray(row.poly_xs), np.asarray(row.poly_ys)
+            ).reshape(sub.shape)
+            vals = sub[inside]
+            if vals.size:
+                out.append((row.zone_id, row.media_ref, int(vals.min()),
+                            int(vals.max()), int(vals.sum(dtype=np.int64)),
+                            int(vals.size)))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "zone_id", "media_ref", "pmin", "pmax", "psum", "pcount"])
+
+
+def zonal_footprint_pairs(zq: DataFrame, catalog: DataFrame,
+                          res: int = 6) -> DataFrame:
+    """Candidate (query_id, media_ref) pairs whose bboxes share a covering
+    grid cell in Mercator — the footprint-overlap pre-join that replaces a
+    zone × raster cartesian (with millions of rasters the cartesian is the
+    scale-killer; the cell cover is a rectangle superset, so no false
+    negatives).  Rasters in a CRS the cell grid can't place (neither 3857
+    nor 4326) are conservatively paired with every zone."""
+    from ..functions import geo
+    zc = zq.select(
+        "query_id",
+        F.explode(C.grid_cells_for_bbox(
+            geo.merc_x(F.col("minx")), geo.merc_y(F.col("miny")),
+            geo.merc_x(F.col("maxx")), geo.merc_y(F.col("maxy")),
+            res)).alias("cell"))
+    rasters = catalog.filter(F.col("media_kind") == "raster")
+    rb = rasters.select(
+        "media_ref", "epsg",
+        *geo.bounds_cols(F.col("origin_x"), F.col("origin_y"),
+                         F.col("width"), F.col("height"),
+                         F.col("pixel_sx"), F.col("pixel_sy")))
+    placeable = rb.filter(F.col("epsg").isin(3857, 4326))
+    mx0 = F.when(F.col("epsg") == 3857, F.col("minx")) \
+        .otherwise(geo.merc_x(F.col("minx")))
+    mx1 = F.when(F.col("epsg") == 3857, F.col("maxx")) \
+        .otherwise(geo.merc_x(F.col("maxx")))
+    my0 = F.when(F.col("epsg") == 3857, F.col("miny")) \
+        .otherwise(geo.merc_y(F.col("miny")))
+    my1 = F.when(F.col("epsg") == 3857, F.col("maxy")) \
+        .otherwise(geo.merc_y(F.col("maxy")))
+    rc = placeable.select(
+        "media_ref",
+        F.explode(C.grid_cells_for_bbox(mx0, my0, mx1, my1, res))
+        .alias("cell"))
+    pairs = (zc.join(rc, "cell")
+             .select("query_id", "media_ref").distinct())
+    unplaceable = rb.filter(~F.col("epsg").isin(3857, 4326)) \
+        .select("media_ref")
+    fallback = zq.select("query_id").crossJoin(F.broadcast(unplaceable))
+    return pairs.unionByName(fallback)
+
+
+def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
+                cover_res: int = 6,
+                broadcast_keys: bool = True) -> DataFrame:
     """min/max/sum/count of raster values per (zone polygon, raster).
 
-    Pipeline: zone bbox (from WKT) → region on each raster (G5/G6 dispatch)
-    → tile-key expansion → tile join → decode + PIP mask + partial agg per
-    (zone, raster).  Zones are metadata-small → broadcast through the region
-    resolution; the only wide exchanges are the tile join and the final
-    groupBy.
+    Pipeline: zone bbox (from WKT) → footprint-overlap pre-join (cell
+    cover equi-join — never zone × raster cartesian) → region on each
+    candidate raster (G5/G6 dispatch) → tile-key expansion → tile join →
+    per-tile decode + PIP-masked partials → groupBy reduce.
+
+    Output contract: one row per candidate pair whose bboxes overlap a
+    shared cover cell; pairs whose polygons touch no pixel report
+    zmin/zmax = −1, zsum/zcount = 0.  Fully disjoint (zone, raster)
+    pairs are absent — at raster-catalog scale enumerating them is the
+    cartesian this version exists to avoid.
     """
     from . import extract as EX
     z = zones.withColumn("_coords", wkt_coords_udf(F.col("polygon_wkt")))
@@ -389,17 +450,26 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame,
         F.array_max("_coords.ys").alias("maxy"),
         F.coalesce(F.col("epsg"), F.lit(4326)).alias("crs"),
         F.lit(None).cast("double").alias("radius_m"))
-    rasters = catalog.filter(F.col("media_kind") == "raster")
-    # zone × every raster (both metadata-small; the pixel work dominates)
-    zr = zq.crossJoin(F.broadcast(rasters.select("media_ref")))
+    pairs = zonal_footprint_pairs(zq, catalog, cover_res)
+    zr = zq.join(pairs, "query_id")
     regions = EX.resolve_regions(zr, catalog)
     keys = EX.expand_tile_keys(regions)
-    joined = EX.join_tiles(keys, tiles, broadcast_keys=True)
+    joined = EX.join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
     cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
             "region_h", "chunk_w", "chunk_h", "compression", "predictor",
             "tile_x", "tile_y", "blob", "origin_x", "origin_y",
             "pixel_sx", "pixel_sy", "epsg", "poly_xs", "poly_ys"]
-    return (joined.select(*cols)
-            .withColumnRenamed("query_id", "zone_id")
-            .groupBy("zone_id", "media_ref")
-            .applyInPandas(_zonal_assemble, ZONAL_SCHEMA))
+    partials = (joined.select(*cols)
+                .withColumnRenamed("query_id", "zone_id")
+                .mapInPandas(_zonal_tile_partials, _ZONAL_PARTIAL_SCHEMA))
+    agg = partials.groupBy("zone_id", "media_ref").agg(
+        F.min("pmin").alias("zmin"), F.max("pmax").alias("zmax"),
+        F.sum("psum").alias("zsum"), F.sum("pcount").alias("zcount"))
+    all_pairs = regions.select(F.col("query_id").alias("zone_id"),
+                               "media_ref").distinct()
+    return (all_pairs.join(agg, ["zone_id", "media_ref"], "left")
+            .select("zone_id", "media_ref",
+                    F.coalesce(F.col("zmin"), F.lit(-1)).alias("zmin"),
+                    F.coalesce(F.col("zmax"), F.lit(-1)).alias("zmax"),
+                    F.coalesce(F.col("zsum"), F.lit(0)).alias("zsum"),
+                    F.coalesce(F.col("zcount"), F.lit(0)).alias("zcount")))
