@@ -639,6 +639,40 @@ def _zonal_raster_oracle_sql() -> str:
       AS t(zone_id, media_ref, zmin, zmax, zsum, zcount)"""
 
 
+def _q_rgb_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 RGB stats over extracted windows on a corpus with interleaved
+    3-sample rasters (stride predictor, per-channel pyramid)."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import extract as EX
+    from rasterkit_spark.operators import raster_ops as RO
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10, rgb_every=3)
+    sdfs = c.to_spark(spark, ["queries_bbox", "media_catalog", "tiles"])
+    w = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                   sdfs["tiles"])
+    return RO.rgb_minmax(w)
+
+
+def _rgb_minmax_oracle_sql() -> str:
+    """VALUES-literal oracle from the numpy fixture oracle's windows."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.fixtures import oracle as OR
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10, rgb_every=3)
+    cat = c.media_catalog.set_index("media_ref", drop=False)
+    rows = []
+    for q in c.queries_bbox.itertuples():
+        cr = cat.loc[q.media_ref]
+        w = OR.expected_window(c, q, cr)["window"]
+        if w.size == 0:
+            rows.append((q.query_id, q.media_ref, -1, -1))
+        else:
+            rows.append((q.query_id, q.media_ref, int(w.min()), int(w.max())))
+    vals = ",\n      ".join(
+        f"('{a}', '{b}', {mn}, {mx})" for a, b, mn, mx in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(query_id, media_ref, vmin, vmax)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(body) for name, body in PORTABLE_SQL.items()}
@@ -659,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = _q_ann_ivf           # rows-only (approximate)
     q["extract_windows"] = _q_extract_fixture
     q["zonal_stats_raster"] = _q_zonal_raster
+    q["rgb_minmax"] = _q_rgb_minmax
     q["events_tumbling_window"] = _sql_query("""
         SELECT CAST(FLOOR(CAST(unix_timestamp(ts) AS DOUBLE) / 300) AS BIGINT) AS win,
                event_type, COUNT(*) AS n,
@@ -949,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["extract_windows"] = _extract_oracle_sql()
     o["zonal_stats_raster"] = _zonal_raster_oracle_sql()
+    o["rgb_minmax"] = _rgb_minmax_oracle_sql()
     o["ann_ivf_topk"] = _ann_ivf_oracle_sql()
     return o
 

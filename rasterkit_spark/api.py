@@ -55,6 +55,11 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
             "*", *geo.bbox_from_point_radius(
                 F.col("x"), F.col("y"), F.col("radius_m"), F.col("crs")))
     out = _ex.extract(queries, catalog, tiles, level=level)
+    if filter_range is not None or colormaps is not None:
+        # the reference converts to luma8 before every filter/colormap step
+        # (filter_utils.rs:81, api.rs:322) — RGB windows collapse here,
+        # grayscale windows pass through byte-identical
+        out = raster_ops.to_luma_op(out)
     if filter_range is not None:
         out = raster_ops.apply_filter(out, *filter_range)
     if colormaps is not None:

@@ -137,6 +137,17 @@ def raster_pixels(media_ref: str, width: int, height: int,
     return ((a * xs + b * ys + _ref_hash(media_ref)) % 256).astype(np.uint8)
 
 
+def raster_pixels_rgb(media_ref: str, width: int, height: int,
+                      a: int, b: int) -> np.ndarray:
+    """3-channel extension of the pixel law: channel c adds 71·c —
+    channels are distinct but equally gradient-rich.  Shape (h, w, 3)."""
+    xs = np.arange(width, dtype=np.int64)[None, :, None]
+    ys = np.arange(height, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((a * xs + b * ys + 71 * cs + _ref_hash(media_ref)) % 256) \
+        .astype(np.uint8)
+
+
 @dataclass
 class Corpus:
     media_catalog: pd.DataFrame
@@ -161,7 +172,11 @@ class Corpus:
 
 
 def make_media_catalog(n_media: int = 12, seed: int = SEED,
-                       sizes=(17, 32, 48, 64)) -> pd.DataFrame:
+                       sizes=(17, 32, 48, 64),
+                       rgb_every: int = 0) -> pd.DataFrame:
+    """``rgb_every > 0`` makes every ``rgb_every``-th raster a 3-sample
+    (interleaved RGB) image — 0 keeps the historical all-grayscale corpus
+    so existing VALUES oracles stay stable."""
     rng = np.random.default_rng(seed)
     rows = []
     for j in range(n_media):
@@ -205,12 +220,13 @@ def make_media_catalog(n_media: int = 12, seed: int = SEED,
         compression = int([1, 8, 8][j % 3])  # zstd (14) excluded: wheel absent
         predictor = int([1, 2][j % 2])
         nodata = ["255", "", ":w 255", "0"][j % 4]
+        spp = 3 if (rgb_every and j % rgb_every == 1) else 1
         rows.append(dict(
             media_ref=media_ref, media_kind=kind, width=width, height=height,
             tile_w=tile_w, tile_h=tile_h, rows_per_strip=rps, epsg=epsg,
             pixel_sx=pixel_s, pixel_sy=pixel_s, origin_x=origin_x,
             origin_y=origin_y, compression=compression, predictor=predictor,
-            nodata=nodata, bits_per_sample=8, samples_per_pixel=1,
+            nodata=nodata, bits_per_sample=8, samples_per_pixel=spp,
             geometry_wkt=""))
     return pd.DataFrame(rows)
 
@@ -237,15 +253,25 @@ def make_tiles(catalog: pd.DataFrame, levels: int = 3, seed: int = SEED):
         if rec.media_kind != "raster":
             continue
         a, b = int(rng.integers(1, 9)), int(rng.integers(1, 9))
-        base = raster_pixels(rec.media_ref, rec.width, rec.height, a, b)
+        spp = int(getattr(rec, "samples_per_pixel", 1) or 1)
+        if spp == 3:
+            base = raster_pixels_rgb(rec.media_ref, rec.width, rec.height,
+                                     a, b)
+        else:
+            base = raster_pixels(rec.media_ref, rec.width, rec.height, a, b)
         pixels[rec.media_ref] = {0: base}
         for lvl in range(1, levels):
             prev = pixels[rec.media_ref][lvl - 1]
             if prev.shape[0] < 2 or prev.shape[1] < 2:
                 break
-            pixels[rec.media_ref][lvl] = K.box_reduce_2x2(prev)
+            if spp == 3:
+                pixels[rec.media_ref][lvl] = np.stack(
+                    [K.box_reduce_2x2(prev[..., c]) for c in range(3)],
+                    axis=-1)
+            else:
+                pixels[rec.media_ref][lvl] = K.box_reduce_2x2(prev)
         for lvl, img in pixels[rec.media_ref].items():
-            h, w = img.shape
+            h, w = img.shape[:2]
             cw, ch, tiled = chunk_layout(w, h, rec.tile_w, rec.tile_h,
                                          rec.rows_per_strip)
             tiles_across = (w + cw - 1) // cw
@@ -254,18 +280,20 @@ def make_tiles(catalog: pd.DataFrame, levels: int = 3, seed: int = SEED):
                 for tx in range(tiles_across):
                     if tiled:
                         # tiles are full-size, zero-padded at edges (TIFF)
-                        chunk = np.zeros((ch, cw), dtype=np.uint8)
+                        shape = (ch, cw) if spp == 1 else (ch, cw, spp)
+                        chunk = np.zeros(shape, dtype=np.uint8)
                         sub = img[ty * ch: (ty + 1) * ch, tx * cw: (tx + 1) * cw]
                         chunk[: sub.shape[0], : sub.shape[1]] = sub
                         flat = chunk.reshape(-1)
                         enc_h = ch
                     else:
                         # strips: last strip holds only the remaining rows
-                        sub = img[ty * ch: (ty + 1) * ch, :]
+                        sub = img[ty * ch: (ty + 1) * ch]
                         flat = sub.reshape(-1)
                         enc_h = sub.shape[0]
                     if rec.predictor == K.PREDICTOR_HORIZONTAL:
-                        flat = K.apply_horizontal_predictor_encode(flat, cw, enc_h)
+                        flat = K.apply_horizontal_predictor_encode(
+                            flat, cw, enc_h, spp)
                     blob = K.compress(bytes(flat), rec.compression)
                     rows.append(dict(
                         media_ref=rec.media_ref, level=lvl, tile_x=tx,
@@ -463,8 +491,9 @@ def make_zones(catalog: pd.DataFrame | None = None, n_zones: int = 8,
 
 def build_corpus(n_media: int = 12, n_docs: int = 200,
                  n_queries: int = 25, seed: int = SEED,
-                 sizes=(17, 32, 48, 64)) -> Corpus:
-    catalog = make_media_catalog(n_media, seed, sizes=sizes)
+                 sizes=(17, 32, 48, 64), rgb_every: int = 0) -> Corpus:
+    catalog = make_media_catalog(n_media, seed, sizes=sizes,
+                                 rgb_every=rgb_every)
     tiles, pixels = make_tiles(catalog, seed=seed)
     docs = make_docs(catalog, n_docs, seed)
     colormaps = make_colormaps(seed)

@@ -57,20 +57,22 @@ def expected_window(corpus: Corpus, qrow, cat_row, level: int = 0):
     region = expected_region(qrow, cat_row)
     rx, ry, rw, rh = region
     img = corpus.pixels[cat_row.media_ref][level]
-    img_h, img_w = img.shape
+    img_h, img_w = img.shape[:2]
+    spp = int(getattr(cat_row, "samples_per_pixel", 1) or 1)
     cw, ch, _ = chunk_layout(img_w, img_h, cat_row.tile_w, cat_row.tile_h,
                              cat_row.rows_per_strip)
     tiles = corpus.tiles
     sel = tiles[(tiles.media_ref == cat_row.media_ref) & (tiles.level == level)]
     sx, sy, ex, ey = K.tile_range_for_region(rx, ry, rw, rh, cw, ch)
-    out = np.zeros((rh, rw), dtype=np.uint8)
+    out = np.zeros((rh, rw) if spp == 1 else (rh, rw, spp), dtype=np.uint8)
     for trow in sel.itertuples():
         if not (sx <= trow.tile_x < ex and sy <= trow.tile_y < ey):
             continue
         chunk = K.decode_chunk(bytes(trow.blob), cat_row.compression,
-                               cat_row.predictor, cw, ch)
+                               cat_row.predictor, cw, ch, spp)
         K.clip_chunk_into(out, chunk, cw, ch,
-                          trow.tile_x * cw, trow.tile_y * ch, rx, ry, rw, rh)
+                          trow.tile_x * cw, trow.tile_y * ch, rx, ry, rw, rh,
+                          spp)
     new_x, new_y = K.adjust_tiepoint_for_region(
         rx, ry, cat_row.origin_x, cat_row.origin_y,
         cat_row.pixel_sx, cat_row.pixel_sy)

@@ -458,12 +458,24 @@ def compress(data: bytes, compression: int, level: Optional[int] = None) -> byte
 # W1 — horizontal-differencing predictor
 # ---------------------------------------------------------------------------
 
-def undo_horizontal_predictor(data: np.ndarray, width: int, height: int) -> np.ndarray:
+def undo_horizontal_predictor(data: np.ndarray, width: int, height: int,
+                              samples: int = 1) -> np.ndarray:
     """Reverse per-row differencing: data[i] += data[i-1] wrapping u8
     (src/utils/image_extraction_utils.rs:545-554) — i.e. a per-row cumsum
     mod 256.  Accepts a flat u8 buffer of length ≥ width·height (a short
     final buffer is padded conceptually by the row loop's ``min`` bound).
+
+    ``samples > 1``: TIFF 6.0 predictor-2 differences run per sample
+    channel (stride = SamplesPerPixel).  The reference decodes only
+    spp = 1 (tile_reader.rs addresses one byte per pixel); the stride
+    path generalizes per the spec for the engine's RGB pipeline.
     """
+    if samples > 1:
+        buf = np.frombuffer(bytes(data), dtype=np.uint8).copy()
+        rows = buf.shape[0] // (width * samples)
+        head = buf[: rows * width * samples].reshape(rows, width, samples)
+        np.cumsum(head, axis=1, dtype=np.uint8, out=head)
+        return buf
     buf = np.frombuffer(bytes(data), dtype=np.uint8).copy()
     n = buf.shape[0]
     full = (width * height <= n)
@@ -478,13 +490,16 @@ def undo_horizontal_predictor(data: np.ndarray, width: int, height: int) -> np.n
     return buf
 
 
-def apply_horizontal_predictor_encode(data: np.ndarray, width: int, height: int) -> np.ndarray:
+def apply_horizontal_predictor_encode(data: np.ndarray, width: int,
+                                      height: int,
+                                      samples: int = 1) -> np.ndarray:
     """Forward differencing (fixture/encode side): inverse of
-    ``undo_horizontal_predictor`` mod 256.
+    ``undo_horizontal_predictor`` mod 256 (per-channel for samples > 1).
     """
-    buf = np.frombuffer(bytes(data), dtype=np.uint8).copy().reshape(height, width)
+    buf = np.frombuffer(bytes(data), dtype=np.uint8).copy() \
+        .reshape(height, width * samples)
     out = buf.copy()
-    out[:, 1:] = buf[:, 1:] - buf[:, :-1]  # uint8 wraps automatically
+    out[:, samples:] = buf[:, samples:] - buf[:, :-samples]  # u8 wraps
     return out.reshape(-1)
 
 
@@ -496,9 +511,11 @@ def clip_chunk_into(out: np.ndarray,
                     chunk: np.ndarray,
                     chunk_w: int, chunk_h: int,
                     chunk_x0: int, chunk_y0: int,
-                    rx: int, ry: int, rw: int, rh: int) -> None:
+                    rx: int, ry: int, rw: int, rh: int,
+                    samples: int = 1) -> None:
     """Copy the intersection of a chunk (tile or strip) with region
-    (rx,ry,rw,rh) into ``out`` (shape (rh, rw) u8) — the vectorized analog of
+    (rx,ry,rw,rh) into ``out`` (shape (rh, rw) u8, or (rh, rw, samples)
+    for interleaved multi-sample pixels) — the vectorized analog of
     the reference's per-pixel ``copy_pixel`` loop
     (src/utils/image_extraction_utils.rs:571-599, tile loop
     src/extractor/tile_reader.rs:224-259).  Pixels whose source index lies
@@ -506,26 +523,33 @@ def clip_chunk_into(out: np.ndarray,
     """
     chunk = np.frombuffer(bytes(chunk), dtype=np.uint8)
     # full rows actually present in the buffer
-    avail_rows = min(chunk_h, chunk.shape[0] // chunk_w) if chunk_w else 0
+    row_bytes = chunk_w * samples
+    avail_rows = min(chunk_h, chunk.shape[0] // row_bytes) if chunk_w else 0
     gx0 = max(chunk_x0, rx)
     gy0 = max(chunk_y0, ry)
     gx1 = min(chunk_x0 + chunk_w, rx + rw)
     gy1 = min(chunk_y0 + avail_rows, ry + rh)
     if gx1 <= gx0 or gy1 <= gy0:
         return
-    src = chunk[: avail_rows * chunk_w].reshape(avail_rows, chunk_w)
+    if samples > 1:
+        src = chunk[: avail_rows * row_bytes].reshape(avail_rows, chunk_w,
+                                                      samples)
+    else:
+        src = chunk[: avail_rows * chunk_w].reshape(avail_rows, chunk_w)
     out[gy0 - ry: gy1 - ry, gx0 - rx: gx1 - rx] = \
         src[gy0 - chunk_y0: gy1 - chunk_y0, gx0 - chunk_x0: gx1 - chunk_x0]
 
 
 def decode_chunk(blob: bytes, compression: int, predictor: int,
-                 width: int, height: int) -> np.ndarray:
+                 width: int, height: int, samples: int = 1) -> np.ndarray:
     """Full decode chain C→W1 (src/extractor/tile_reader.rs:85-108):
-    decompress, then undo predictor if predictor == 2."""
+    decompress, then undo predictor if predictor == 2.  ``samples`` is
+    SamplesPerPixel — interleaved (chunky) layout, flat return of
+    width·height·samples bytes."""
     raw = decompress(blob, compression)
     arr = np.frombuffer(raw, dtype=np.uint8)
     if predictor == PREDICTOR_HORIZONTAL:
-        arr = undo_horizontal_predictor(arr, width, height)
+        arr = undo_horizontal_predictor(arr, width, height, samples)
     return arr
 
 

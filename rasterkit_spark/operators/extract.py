@@ -48,6 +48,7 @@ WINDOW_SCHEMA = StructType([
     StructField("window_sha256", StringType()),
     StructField("new_origin_x", DoubleType()),
     StructField("new_origin_y", DoubleType()),
+    StructField("samples_per_pixel", LongType()),
 ])
 
 
@@ -73,10 +74,12 @@ def resolve_regions(queries: DataFrame, catalog: DataFrame) -> DataFrame:
     ``queries`` needs columns: query_id, media_ref, minx/miny/maxx/maxy,
     crs, radius_m (nullable).
     """
+    spp = (F.col("samples_per_pixel") if "samples_per_pixel"
+           in catalog.columns else F.lit(1)).alias("samples_per_pixel")
     cat = catalog.filter(F.col("media_kind") == "raster").select(
         "media_ref", "width", "height", "tile_w", "tile_h", "rows_per_strip",
         "epsg", "pixel_sx", "pixel_sy", "origin_x", "origin_y",
-        "compression", "predictor", *normalized_chunk_cols())
+        "compression", "predictor", spp, *normalized_chunk_cols())
     q = queries.join(F.broadcast(cat), "media_ref", "inner")
     # geotransform: pixel_h = -pixel_sy (G8)
     region = geo.region_dispatch(
@@ -135,12 +138,14 @@ def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
     rw, rh = int(first.region_w), int(first.region_h)
     cw, ch = int(first.chunk_w), int(first.chunk_h)
     comp, pred = int(first.compression), int(first.predictor)
-    out = np.zeros((rh, rw), dtype=np.uint8)
+    spp = int(getattr(first, "samples_per_pixel", 1) or 1)
+    shape = (rh, rw) if spp == 1 else (rh, rw, spp)
+    out = np.zeros(shape, dtype=np.uint8)
     for row in pdf.itertuples():
-        chunk = K.decode_chunk(bytes(row.blob), comp, pred, cw, ch)
+        chunk = K.decode_chunk(bytes(row.blob), comp, pred, cw, ch, spp)
         K.clip_chunk_into(out, chunk, cw, ch,
                           int(row.tile_x) * cw, int(row.tile_y) * ch,
-                          rx, ry, rw, rh)
+                          rx, ry, rw, rh, spp)
     buf = out.tobytes()
     return pd.DataFrame([{
         "query_id": first.query_id,
@@ -150,6 +155,7 @@ def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         "window_sha256": hashlib.sha256(buf).hexdigest(),
         "new_origin_x": float(first.new_origin_x),
         "new_origin_y": float(first.new_origin_y),
+        "samples_per_pixel": spp,
     }])
 
 
@@ -157,7 +163,8 @@ def decode_and_clip(joined: DataFrame) -> DataFrame:
     """Group chunks back into clipped windows (Arrow-batched)."""
     cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
             "region_h", "chunk_w", "chunk_h", "compression", "predictor",
-            "tile_x", "tile_y", "blob", "new_origin_x", "new_origin_y"]
+            "samples_per_pixel", "tile_x", "tile_y", "blob",
+            "new_origin_x", "new_origin_y"]
     return (joined.select(*cols)
             .groupBy("query_id", "media_ref")
             .applyInPandas(_assemble, WINDOW_SCHEMA))

@@ -57,6 +57,76 @@ def _map_windows(df: DataFrame, fn, extra_fields=()) -> DataFrame:
     return df.mapInPandas(gen, out_schema)
 
 
+def to_luma_op(windows: DataFrame) -> DataFrame:
+    """P6: collapse multi-sample (RGB) windows to luma8 the way the
+    reference does before every filter/colormap step (filter_utils.rs:81,
+    tiff_extraction_utils.rs:41, api.rs:322 all call ``image.to_luma8()``
+    first).  Grayscale windows pass through byte-identical; the
+    ``samples_per_pixel`` column collapses to 1 and ``window_sha256``
+    is recomputed."""
+    out_schema = windows.schema
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            new_w, new_sha, new_spp = [], [], []
+            for row in pdf.itertuples():
+                spp = int(getattr(row, "samples_per_pixel", 1) or 1)
+                if spp == 1:
+                    new_w.append(row.window)
+                    new_sha.append(row.window_sha256)
+                    new_spp.append(1)
+                    continue
+                arr = np.frombuffer(bytes(row.window), dtype=np.uint8) \
+                    .reshape(int(row.region_h), int(row.region_w), spp)
+                luma = K.rgb_to_luma8(arr[..., :3])
+                buf = luma.tobytes()
+                new_w.append(bytearray(buf))
+                new_sha.append(hashlib.sha256(buf).hexdigest())
+                new_spp.append(1)
+            pdf = pdf.copy()
+            pdf["window"] = new_w
+            pdf["window_sha256"] = new_sha
+            if "samples_per_pixel" in pdf.columns:
+                pdf["samples_per_pixel"] = new_spp
+            yield pdf
+
+    return windows.mapInPandas(gen, out_schema)
+
+
+RGB_STATS_SCHEMA = StructType([
+    StructField("query_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("vmin", LongType()),
+    StructField("vmax", LongType()),
+])
+
+
+def rgb_minmax(windows: DataFrame) -> DataFrame:
+    """A2: overall min/max of a window across all sample channels
+    (calculate_rgb_stats, src/utils/tiff_extraction_utils.rs:62-94:
+    per-channel mins/maxes then min-of-mins / max-of-maxes — equal to the
+    global byte min/max of the interleaved buffer).  Works on grayscale
+    windows too (degenerates to A1 per-window stats)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for row in pdf.itertuples():
+                buf = np.frombuffer(bytes(row.window), dtype=np.uint8)
+                if buf.size == 0:
+                    out.append((row.query_id, row.media_ref, -1, -1))
+                else:
+                    out.append((row.query_id, row.media_ref,
+                                int(buf.min()), int(buf.max())))
+            yield pd.DataFrame(out, columns=["query_id", "media_ref",
+                                             "vmin", "vmax"])
+
+    return windows.mapInPandas(gen, RGB_STATS_SCHEMA)
+
+
 def apply_filter(windows: DataFrame, lo: int, hi: int,
                  background: int = 0) -> DataFrame:
     """P3: keep v∈[lo,hi] else background (filter_utils.rs:24-54)."""

@@ -129,3 +129,101 @@ def test_extract_for_docs_runs(spark, sdfs):
                               sdfs["tiles"], sdfs["queries_bbox"])
     assert out.count() > 0
     assert {"doc_id", "pos", "media_ref", "window_sha256"} <= set(out.columns)
+
+
+# ---------------------------------------------------------------------------
+# P6/A2 — RGB pixel path (samples_per_pixel=3, interleaved, stride predictor)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rgb_corpus():
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10, rgb_every=3)
+    OR.oracle_window_check(c)  # self-check covers the RGB decode chain too
+    return c
+
+
+@pytest.fixture(scope="module")
+def rgb_sdfs(spark, rgb_corpus):
+    return rgb_corpus.to_spark(spark, ["queries_bbox", "media_catalog",
+                                       "tiles"])
+
+
+def test_rgb_fixture_has_rgb_rasters(rgb_corpus):
+    cat = rgb_corpus.media_catalog
+    assert (cat.samples_per_pixel == 3).any()
+    assert (cat.samples_per_pixel == 1).any()
+
+
+def test_rgb_windows_match_oracle(spark, rgb_corpus, rgb_sdfs):
+    out = EX.extract(rgb_sdfs["queries_bbox"], rgb_sdfs["media_catalog"],
+                     rgb_sdfs["tiles"]).toPandas().set_index("query_id")
+    want = OR.expected_all_bbox(rgb_corpus).set_index("query_id")
+    cat = rgb_corpus.media_catalog.set_index("media_ref", drop=False)
+    rgb_checked = 0
+    for qid in want.index:
+        assert out.loc[qid, "window_sha256"] == want.loc[qid, "window_sha256"], qid
+        spp = int(cat.loc[out.loc[qid, "media_ref"], "samples_per_pixel"])
+        assert int(out.loc[qid, "samples_per_pixel"]) == spp
+        rgb_checked += spp == 3
+    assert rgb_checked > 0
+
+
+def test_rgb_luma_before_filter_matches_reference_order(spark, rgb_corpus,
+                                                        rgb_sdfs):
+    """api.extract with a filter collapses RGB windows to luma8 FIRST
+    (filter_utils.rs:81 / api.rs:322 order), then filters the luma."""
+    from rasterkit_spark import api
+    from rasterkit_spark import kernels as K
+
+    out = api.extract(rgb_sdfs["queries_bbox"], rgb_sdfs["media_catalog"],
+                      rgb_sdfs["tiles"], filter_range=(40, 200)) \
+        .toPandas().set_index("query_id")
+    cat = rgb_corpus.media_catalog.set_index("media_ref", drop=False)
+    checked = 0
+    for qid in out.index:
+        row = out.loc[qid]
+        ref = row.media_ref
+        spp = int(cat.loc[ref, "samples_per_pixel"])
+        if spp != 3:
+            continue
+        exp = OR.expected_window(
+            rgb_corpus,
+            rgb_corpus.queries_bbox.set_index("query_id").loc[qid],
+            cat.loc[ref])
+        luma = K.rgb_to_luma8(exp["window"])
+        want = K.filter_values(luma, 40, 200)
+        got = np.frombuffer(bytes(row.window), dtype=np.uint8).reshape(
+            int(row.region_h), int(row.region_w))
+        np.testing.assert_array_equal(got, want, err_msg=qid)
+        assert int(row.samples_per_pixel) == 1
+        checked += 1
+    assert checked > 0
+
+
+def test_rgb_minmax_matches_numpy(spark, rgb_corpus, rgb_sdfs):
+    from rasterkit_spark.operators import raster_ops as RO
+    windows = EX.extract(rgb_sdfs["queries_bbox"], rgb_sdfs["media_catalog"],
+                         rgb_sdfs["tiles"])
+    got = RO.rgb_minmax(windows).toPandas().set_index("query_id")
+    cat = rgb_corpus.media_catalog.set_index("media_ref", drop=False)
+    for qid in got.index:
+        ref = got.loc[qid, "media_ref"]
+        exp = OR.expected_window(
+            rgb_corpus,
+            rgb_corpus.queries_bbox.set_index("query_id").loc[qid],
+            cat.loc[ref])
+        w = exp["window"]
+        assert got.loc[qid, "vmin"] == int(w.min()), qid
+        assert got.loc[qid, "vmax"] == int(w.max()), qid
+
+
+def test_predictor_stride_roundtrip():
+    from rasterkit_spark import kernels as K
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=16 * 8 * 3, dtype=np.uint8).tobytes()
+    enc = K.apply_horizontal_predictor_encode(raw, 16, 8, 3)
+    dec = K.undo_horizontal_predictor(enc, 16, 8, 3)
+    assert bytes(dec) == raw
+    # stride must matter: decoding with the wrong stride corrupts
+    dec1 = K.undo_horizontal_predictor(enc, 48, 8, 1)
+    assert bytes(dec1) != raw

@@ -38,8 +38,8 @@ def test_extract_plan_pushdown_and_broadcast(spark, parquet_tables):
     assert "EqualTo(level,0)" in plan
     # tile scan is column-pruned to exactly what decode needs (no blob-less
     # metadata columns dragged along)
-    m = re.search(r"ReadSchema: struct<media_ref:string,level:bigint,"
-                  r"tile_x:bigint,tile_y:bigint,blob:binary>", plan)
+    m = re.search(r"ReadSchema: struct<media_ref:string,level:(big)?int,"
+                  r"tile_x:(big)?int,tile_y:(big)?int,blob:binary>", plan)
     assert m, "tile scan no longer column-pruned"
     # small sides broadcast; no sort-merge join in the small-query regime
     assert "BroadcastHashJoin" in plan
