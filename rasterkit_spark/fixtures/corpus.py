@@ -217,7 +217,10 @@ def make_media_catalog(n_media: int = 12, seed: int = SEED,
             pixel_s = float(rng.choice([0.01, 0.005]))
             origin_x = float(rng.uniform(-170, 160))
             origin_y = float(rng.uniform(-70, 80))
-        compression = int([1, 8, 8][j % 3])  # zstd (14) excluded: wheel absent
+        # full reference codec set {1: none, 8: deflate, 14: zstd}
+        # (zstd runs on the pyarrow-bundled codec when the wheel is absent)
+        compression = int([1, 8, 14][j % 3]) if K._HAVE_ZSTD \
+            else int([1, 8, 8][j % 3])
         predictor = int([1, 2][j % 2])
         nodata = ["255", "", ":w 255", "0"][j % 4]
         spp = 3 if (rgb_every and j % rgb_every == 1) else 1

@@ -48,13 +48,57 @@ SUPPORTED_COMPRESSIONS = (COMPRESSION_NONE, COMPRESSION_DEFLATE, COMPRESSION_ZST
 PREDICTOR_NONE = 1
 PREDICTOR_HORIZONTAL = 2
 
-try:  # zstd is optional in this sandbox; gate behind import-try.
+try:  # preferred backend when the wheel is present
     import zstandard as _zstd  # type: ignore
-
-    _HAVE_ZSTD = True
-except ImportError:  # pragma: no cover
+except ImportError:
     _zstd = None
-    _HAVE_ZSTD = False
+try:  # pyarrow ships a bundled zstd codec — no extra wheel needed
+    import pyarrow as _pa_codec
+
+    _pa_codec.Codec("zstd")  # raises if arrow was built without zstd
+except Exception:  # pragma: no cover
+    _pa_codec = None
+_HAVE_ZSTD = _zstd is not None or _pa_codec is not None
+
+
+def _zstd_frame_content_size(blob: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1).
+
+    pyarrow's ``Codec.decompress`` demands the decompressed size up front;
+    one-shot zstd frames (the reference writes those — zstd.rs encodes
+    whole chunks) embed it, so parse it instead of threading a size hint
+    through every call site."""
+    import struct
+    if len(blob) < 6 or blob[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    desc = blob[4]
+    fcs_flag = desc >> 6
+    single_segment = (desc >> 5) & 1
+    did_size = (0, 1, 2, 4)[desc & 3]
+    pos = 5 + (0 if single_segment else 1) + did_size
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame has no content size field")
+        return blob[pos]
+    if fcs_flag == 1:
+        return struct.unpack("<H", blob[pos:pos + 2])[0] + 256
+    if fcs_flag == 2:
+        return struct.unpack("<I", blob[pos:pos + 4])[0]
+    return struct.unpack("<Q", blob[pos:pos + 8])[0]
+
+
+def _zstd_decompress(blob: bytes) -> bytes:
+    if _zstd is not None:
+        return _zstd.ZstdDecompressor().decompress(blob)
+    return _pa_codec.Codec("zstd").decompress(
+        blob, decompressed_size=_zstd_frame_content_size(blob), asbytes=True)
+
+
+def _zstd_compress(data: bytes, level: int) -> bytes:
+    if _zstd is not None:
+        return _zstd.ZstdCompressor(level=level).compress(data)
+    return _pa_codec.Codec("zstd", compression_level=level).compress(
+        data, asbytes=True)
 
 
 # ---------------------------------------------------------------------------
@@ -433,9 +477,9 @@ def decompress(blob: bytes, compression: int) -> bytes:
     if compression == COMPRESSION_ZSTD:
         if not _HAVE_ZSTD:
             raise NotImplementedError(
-                "zstd codec (code 14, src/compression/zstd.rs) requires the "
-                "'zstandard' package, unavailable in this sandbox")
-        return _zstd.ZstdDecompressor().decompress(blob)
+                "zstd codec (code 14, src/compression/zstd.rs) needs the "
+                "'zstandard' wheel or a pyarrow built with zstd")
+        return _zstd_decompress(blob)
     raise ValueError(f"Unsupported compression method: {compression}")
 
 
@@ -450,7 +494,7 @@ def compress(data: bytes, compression: int, level: Optional[int] = None) -> byte
     if compression == COMPRESSION_ZSTD:
         if not _HAVE_ZSTD:
             raise NotImplementedError("zstd unavailable; see decompress()")
-        return _zstd.ZstdCompressor(level=3 if level is None else level).compress(data)
+        return _zstd_compress(data, 3 if level is None else level)
     raise ValueError(f"Unsupported compression method: {compression}")
 
 

@@ -30,7 +30,7 @@ def test_fixture_coverage(corpus):
     assert (cat[cat.media_kind == "raster"].tile_w > 0).any()      # tiled
     assert (cat[cat.media_kind == "raster"].tile_w == 0).any()     # stripped
     assert (cat.rows_per_strip == 0).any()                         # NULL quirk
-    assert set(cat[cat.media_kind == "raster"].compression) == {1, 8}
+    assert set(cat[cat.media_kind == "raster"].compression) == {1, 8, 14}
     assert set(cat[cat.media_kind == "raster"].predictor) == {1, 2}
 
 

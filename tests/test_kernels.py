@@ -347,3 +347,22 @@ def test_coord_to_bbox_mercator():
     minx, miny, maxx, maxy = K.coord_to_bbox(
         np.array([500.0]), np.array([600.0]), np.array([50.0]), "circle", 3857)
     assert (minx[0], miny[0], maxx[0], maxy[0]) == (450.0, 550.0, 550.0, 650.0)
+
+
+def test_zstd_codec_roundtrip_and_frame_size():
+    """C2: zstd (code 14) through the pyarrow-bundled codec — one-shot
+    frames carry Frame_Content_Size (RFC 8878 §3.1.1), parsed so decode
+    needs no size hint (matching zstd.rs decode_all semantics)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, size=16 * 16, dtype=np.uint8).tobytes()
+    blob = K.compress(raw, K.COMPRESSION_ZSTD)
+    assert blob[:4] == b"\x28\xb5\x2f\xfd"
+    assert K._zstd_frame_content_size(blob) == len(raw)
+    assert K.decompress(blob, K.COMPRESSION_ZSTD) == raw
+    # full decode chain with predictor
+    enc = K.apply_horizontal_predictor_encode(raw, 16, 16)
+    blob2 = K.compress(bytes(enc), K.COMPRESSION_ZSTD)
+    dec = K.decode_chunk(blob2, K.COMPRESSION_ZSTD, K.PREDICTOR_HORIZONTAL,
+                         16, 16)
+    assert bytes(dec) == raw

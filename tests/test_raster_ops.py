@@ -80,7 +80,7 @@ def test_apply_colormap_matches_kernel(spark, corpus, sdfs, windows):
             hashlib.sha256(exp.tobytes()).hexdigest(), qid
 
 
-@pytest.mark.parametrize("target", [1, 8])
+@pytest.mark.parametrize("target", [1, 8, 14])
 def test_convert_compression_roundtrip(spark, corpus, sdfs, target):
     out = RO.convert_compression(sdfs["tiles"], sdfs["media_catalog"], target)
     got = out.toPandas()
