@@ -45,7 +45,18 @@ TAG_PREDICTOR = 317
 TAG_TILE_WIDTH, TAG_TILE_LENGTH = 322, 323
 TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS = 324, 325
 TAG_PIXEL_SCALE, TAG_TIEPOINT = 33550, 33922
+TAG_GEO_KEY_DIRECTORY = 34735   # src/tiff/constants.rs GeoTIFF block
+TAG_GEO_DOUBLE_PARAMS = 34736
+TAG_GEO_ASCII_PARAMS = 34737
 TAG_GDAL_NODATA = 42113
+
+# GeoKey ids (GeoTIFF 1.1 spec; the subset the reference names)
+GKEY_MODEL_TYPE = 1024        # 1=projected, 2=geographic
+GKEY_RASTER_TYPE = 1025       # 1=PixelIsArea
+GKEY_CITATION = 1026          # ascii, lives in GeoAsciiParamsTag
+GKEY_GEOGRAPHIC_TYPE = 2048   # geographic EPSG
+GKEY_GEOG_INV_FLATTENING = 2059  # double, lives in GeoDoubleParamsTag
+GKEY_PROJECTED_CS_TYPE = 3072  # projected EPSG
 
 MAX_IFDS = 100  # loop guard parity (src/tiff/reader.rs:165-168)
 
@@ -239,3 +250,139 @@ def _encode_values(bo, e: Entry) -> bytes:
         return s
     fmt = {T_BYTE: "B", T_SHORT: "H", T_LONG: "I", T_DOUBLE: "d"}[e.ftype]
     return struct.pack(bo + fmt * len(e.values), *e.values)
+
+
+# ---------------------------------------------------------------------------
+# S8 — GeoKey directory (GeoTIFF 1.1; parse twin of geo_key_parser.rs:33-142)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GeoKeyEntry:
+    key_id: int
+    tiff_tag_location: int
+    count: int
+    value_offset: int
+
+
+def geokey_entries(epsg: int, citation: str | None = None,
+                   inv_flattening: float | None = None) -> list[Entry]:
+    """Writer half: the GeoKeyDirectoryTag short array (header 1,1,0,N +
+    4-short entries, sorted by key id per spec) plus the Double/Ascii
+    params tags when referenced.  EPSG 4xxx ranges are written geographic
+    (GeographicTypeGeoKey), everything else projected
+    (ProjectedCSTypeGeoKey) — the same split geo_key_parser.rs's consumers
+    apply."""
+    geographic = 4000 <= epsg <= 4999
+    keys: list[tuple[int, int, int, int]] = [
+        (GKEY_MODEL_TYPE, 0, 1, 2 if geographic else 1),
+        (GKEY_RASTER_TYPE, 0, 1, 1),
+    ]
+    doubles: list[float] = []
+    ascii_blob = ""
+    if citation is not None:
+        s = citation + "|"  # GeoTIFF ascii values are '|'-terminated
+        keys.append((GKEY_CITATION, TAG_GEO_ASCII_PARAMS, len(s),
+                     len(ascii_blob)))
+        ascii_blob += s
+    if geographic:
+        keys.append((GKEY_GEOGRAPHIC_TYPE, 0, 1, epsg))
+    if inv_flattening is not None:
+        keys.append((GKEY_GEOG_INV_FLATTENING, TAG_GEO_DOUBLE_PARAMS, 1,
+                     len(doubles)))
+        doubles.append(float(inv_flattening))
+    if not geographic:
+        keys.append((GKEY_PROJECTED_CS_TYPE, 0, 1, epsg))
+    keys.sort()
+    shorts = [1, 1, 0, len(keys)]
+    for k in keys:
+        shorts.extend(k)
+    out = [Entry(TAG_GEO_KEY_DIRECTORY, T_SHORT, shorts)]
+    if doubles:
+        out.append(Entry(TAG_GEO_DOUBLE_PARAMS, T_DOUBLE, doubles))
+    if ascii_blob:
+        out.append(Entry(TAG_GEO_ASCII_PARAMS, T_ASCII, [ascii_blob]))
+    return out
+
+
+def parse_geo_key_directory(ifd: Ifd) -> list[GeoKeyEntry]:
+    """Reader half (geo_key_parser.rs:33-82): header shorts
+    (version, revision, minor, num_keys) then 4-short entries.  Missing
+    tag → empty list; short header → error (":68-70")."""
+    e = ifd.entries.get(TAG_GEO_KEY_DIRECTORY)
+    if e is None:
+        return []
+    vals = e.values
+    if len(vals) < 4:
+        raise ValueError("Invalid GeoKey directory header")
+    num_keys = vals[3]
+    out = []
+    for i in range(num_keys):
+        k = vals[4 + i * 4: 8 + i * 4]
+        if len(k) < 4:
+            break
+        out.append(GeoKeyEntry(*k))
+    return out
+
+
+def geo_key_value_as_string(ifd: Ifd, key: GeoKeyEntry) -> str:
+    """Value resolution (geo_key_parser.rs:95-142): location 0 → inline
+    short; 34736 → index into GeoDoubleParams; 34737 → count-bounded slice
+    of GeoAsciiParams with trailing nulls/terminator trimmed."""
+    if key.tiff_tag_location == 0:
+        return str(key.value_offset)
+    if key.tiff_tag_location == TAG_GEO_DOUBLE_PARAMS:
+        e = ifd.entries.get(TAG_GEO_DOUBLE_PARAMS)
+        if e is not None and key.value_offset < len(e.values):
+            v = float(e.values[key.value_offset])
+            return repr(v)  # shortest round-trip, like Rust's f64 Display
+    elif key.tiff_tag_location == TAG_GEO_ASCII_PARAMS:
+        e = ifd.entries.get(TAG_GEO_ASCII_PARAMS)
+        if e is not None:
+            s = e.values[0][key.value_offset: key.value_offset + key.count]
+            return s.rstrip("\x00").rstrip("|")
+    raise ValueError(f"Could not retrieve GeoKey value for key {key.key_id}")
+
+
+def epsg_from_geo_keys(keys: list[GeoKeyEntry]) -> int | None:
+    """EPSG selection: ProjectedCSType (3072) wins when model type is
+    projected, else GeographicType (2048) — the lookup order the
+    reference's analyze/reproject paths use."""
+    by_id = {k.key_id: k for k in keys}
+    model = by_id.get(GKEY_MODEL_TYPE)
+    if model is not None and model.value_offset == 1:
+        proj = by_id.get(GKEY_PROJECTED_CS_TYPE)
+        if proj is not None:
+            return proj.value_offset
+    geo = by_id.get(GKEY_GEOGRAPHIC_TYPE)
+    if geo is not None:
+        return geo.value_offset
+    proj = by_id.get(GKEY_PROJECTED_CS_TYPE)
+    return proj.value_offset if proj is not None else None
+
+
+def catalog_row_from_tiff(buf: bytes) -> dict:
+    """Ingestion shim: one catalog-table row from real TIFF bytes — the
+    bridge between byte-level GeoTIFFs and the engine's table residency
+    (geo metadata via S8/S9, layout via S1-S6 tags)."""
+    ifds, _, _ = read_tiff(buf)
+    ifd = ifds[0]
+    keys = parse_geo_key_directory(ifd)
+    scale = ifd.entries.get(TAG_PIXEL_SCALE)
+    tie = ifd.entries.get(TAG_TIEPOINT)
+    return dict(
+        width=ifd.get(TAG_WIDTH, 0),
+        height=ifd.get(TAG_HEIGHT, 0),
+        tile_w=ifd.get(TAG_TILE_WIDTH, 0),
+        tile_h=ifd.get(TAG_TILE_LENGTH, 0),
+        rows_per_strip=ifd.get(TAG_ROWS_PER_STRIP, 0),
+        compression=ifd.get(TAG_COMPRESSION, 1),
+        predictor=ifd.get(TAG_PREDICTOR, 1),
+        bits_per_sample=ifd.get(TAG_BITS_PER_SAMPLE, 8),
+        samples_per_pixel=ifd.get(TAG_SAMPLES_PER_PIXEL, 1),
+        pixel_sx=float(scale.values[0]) if scale else 0.0,
+        pixel_sy=float(scale.values[1]) if scale else 0.0,
+        origin_x=float(tie.values[3]) if tie else 0.0,
+        origin_y=float(tie.values[4]) if tie else 0.0,
+        epsg=epsg_from_geo_keys(keys),
+        nodata=ifd.get(TAG_GDAL_NODATA, ""),
+    )

@@ -143,3 +143,60 @@ def test_reproject_metadata_and_lod(spark):
     assert "source_epsg" in re.columns
     lvl = cat.select(CIO.select_level(cat, F.lit(1000.0)).alias("lvl")).toPandas()
     assert lvl.lvl.between(0, 2).all()
+
+
+def test_geokey_directory_roundtrip():
+    """S8: GeoKeyDirectoryTag write → read → EPSG, for both the projected
+    and geographic splits, with double/ascii param indirection
+    (geo_key_parser.rs:33-142)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    for epsg, expect_model in [(3857, 1), (4326, 2), (32633, 1)]:
+        buf = TC.write_tiff(img, extra_entries=[
+            TC.Entry(TC.TAG_PIXEL_SCALE, TC.T_DOUBLE, [10.0, 10.0, 0.0]),
+            TC.Entry(TC.TAG_TIEPOINT, TC.T_DOUBLE,
+                     [0.0, 0.0, 0.0, 500.0, 4000.0, 0.0]),
+            *TC.geokey_entries(epsg, citation=f"EPSG:{epsg}",
+                               inv_flattening=298.257223563),
+        ])
+        ifds, _, _ = TC.read_tiff(buf)
+        keys = TC.parse_geo_key_directory(ifds[0])
+        by_id = {k.key_id: k for k in keys}
+        assert by_id[TC.GKEY_MODEL_TYPE].value_offset == expect_model
+        assert TC.epsg_from_geo_keys(keys) == epsg
+        # value-location dispatch: inline short / double params / ascii
+        assert TC.geo_key_value_as_string(
+            ifds[0], by_id[TC.GKEY_RASTER_TYPE]) == "1"
+        assert TC.geo_key_value_as_string(
+            ifds[0], by_id[TC.GKEY_GEOG_INV_FLATTENING]) == "298.257223563"
+        assert TC.geo_key_value_as_string(
+            ifds[0], by_id[TC.GKEY_CITATION]) == f"EPSG:{epsg}"
+
+
+def test_geokey_missing_and_invalid():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    ifds, _, _ = TC.read_tiff(TC.write_tiff(img))
+    assert TC.parse_geo_key_directory(ifds[0]) == []  # no tag → empty
+    bad = TC.Ifd()
+    bad.entries[TC.TAG_GEO_KEY_DIRECTORY] = TC.Entry(
+        TC.TAG_GEO_KEY_DIRECTORY, TC.T_SHORT, [1, 1])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="Invalid GeoKey directory header"):
+        TC.parse_geo_key_directory(bad)
+
+
+def test_catalog_row_from_tiff_ingestion():
+    """End-to-end EPSG ingestion: TIFF bytes → catalog row (S8+S9+S10)."""
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    buf = TC.write_tiff(img, extra_entries=[
+        TC.Entry(TC.TAG_PIXEL_SCALE, TC.T_DOUBLE, [50.0, 50.0, 0.0]),
+        TC.Entry(TC.TAG_TIEPOINT, TC.T_DOUBLE,
+                 [0.0, 0.0, 0.0, -20000.0, 150000.0, 0.0]),
+        TC.Entry(TC.TAG_GDAL_NODATA, TC.T_ASCII, ["255"]),
+        *TC.geokey_entries(3857),
+    ])
+    row = TC.catalog_row_from_tiff(buf)
+    assert row["epsg"] == 3857
+    assert row["width"] == 8 and row["height"] == 6
+    assert row["pixel_sx"] == 50.0 and row["origin_y"] == 150000.0
+    assert row["nodata"] == "255"
+    assert row["samples_per_pixel"] == 1
