@@ -180,6 +180,57 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
     return decode_and_clip(joined)
 
 
+def extract_pixel_region(queries: DataFrame, catalog: DataFrame,
+                         tiles: DataFrame, level: int = 0,
+                         strict: bool = True,
+                         broadcast_keys: bool = True) -> DataFrame:
+    """Explicit pixel-region extraction — the reference's ``--region=x,y,WxH``
+    path (P2, ``determine_extraction_region``,
+    src/utils/tiff_extraction_utils.rs:268-293).
+
+    ``queries`` rows carry (query_id, media_ref, region_x, region_y,
+    region_w, region_h).  Validation follows the reference exactly: a
+    region whose end exceeds the image dimensions is a HARD error (the
+    reference fails the whole command; ``strict=True`` raises with the
+    offending rows).  ``strict=False`` drops invalid rows instead —
+    the forgiving mode for corpus-scale batch runs.  Negative origins
+    are rejected too (the reference's Region fields are u32 — the type
+    system enforces what we must check).
+    """
+    spp = (F.col("samples_per_pixel") if "samples_per_pixel"
+           in catalog.columns else F.lit(1)).alias("samples_per_pixel")
+    cat = catalog.filter(F.col("media_kind") == "raster").select(
+        "media_ref", "width", "height", "tile_w", "tile_h", "rows_per_strip",
+        "epsg", "pixel_sx", "pixel_sy", "origin_x", "origin_y",
+        "compression", "predictor", spp, *normalized_chunk_cols())
+    q = queries.join(F.broadcast(cat), "media_ref", "inner")
+    bad = ((F.col("region_x") < 0) | (F.col("region_y") < 0) |
+           (F.col("region_x") + F.col("region_w") > F.col("width")) |
+           (F.col("region_y") + F.col("region_h") > F.col("height")))
+    if strict:
+        offenders = q.filter(bad).select(
+            "query_id", "media_ref", "region_x", "region_y", "region_w",
+            "region_h", "width", "height").limit(5).collect()
+        if offenders:
+            r = offenders[0]
+            raise ValueError(
+                f"Region ({r.region_x},{r.region_y} - {r.region_w}x"
+                f"{r.region_h}) exceeds image dimensions "
+                f"({r.width}x{r.height})"
+                + (f" (+{len(offenders) - 1} more)"
+                   if len(offenders) > 1 else ""))
+    else:
+        q = q.filter(~bad)
+    tie = geo.adjusted_tiepoint_cols(
+        F.col("region_x"), F.col("region_y"),
+        F.col("origin_x"), F.col("origin_y"),
+        F.col("pixel_sx"), F.col("pixel_sy"))
+    regions = q.select("*", *tie)
+    keys = expand_tile_keys(regions, level=level)
+    joined = join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
+    return decode_and_clip(joined)
+
+
 def extract_for_docs(docs: DataFrame, catalog: DataFrame, tiles: DataFrame,
                      queries: DataFrame) -> DataFrame:
     """Corpus entry point (input_hint shape): docs → posexplode(spans) →

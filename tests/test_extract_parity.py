@@ -227,3 +227,39 @@ def test_predictor_stride_roundtrip():
     # stride must matter: decoding with the wrong stride corrupts
     dec1 = K.undo_horizontal_predictor(enc, 48, 8, 1)
     assert bytes(dec1) != raw
+
+
+# ---------------------------------------------------------------------------
+# P2 — explicit pixel-region path with strict reference validation
+# ---------------------------------------------------------------------------
+
+def test_pixel_region_strict_validation(spark, corpus, sdfs):
+    """determine_extraction_region (tiff_extraction_utils.rs:268-293):
+    an explicit region exceeding the image is a hard error; valid regions
+    extract the exact slice."""
+    cat = corpus.media_catalog
+    rec = cat[(cat.media_kind == "raster")].iloc[0]
+    ok = pd.DataFrame([dict(query_id="q_ok", media_ref=rec.media_ref,
+                            region_x=1, region_y=2, region_w=5, region_h=4)])
+    schema = ("query_id string, media_ref string, region_x long,"
+              " region_y long, region_w long, region_h long")
+    out = EX.extract_pixel_region(
+        spark.createDataFrame(ok, schema), sdfs["media_catalog"],
+        sdfs["tiles"]).toPandas()
+    img = corpus.pixels[rec.media_ref][0]
+    want = img[2:6, 1:6]
+    got = np.frombuffer(bytes(out.iloc[0].window), dtype=np.uint8) \
+        .reshape(4, 5)
+    np.testing.assert_array_equal(got, want)
+
+    bad = pd.DataFrame([dict(query_id="q_bad", media_ref=rec.media_ref,
+                             region_x=int(rec.width) - 2, region_y=0,
+                             region_w=5, region_h=3)])
+    with pytest.raises(ValueError, match="exceeds image dimensions"):
+        EX.extract_pixel_region(spark.createDataFrame(bad, schema),
+                                sdfs["media_catalog"], sdfs["tiles"])
+    # forgiving mode drops the row instead
+    n = EX.extract_pixel_region(spark.createDataFrame(bad, schema),
+                                sdfs["media_catalog"], sdfs["tiles"],
+                                strict=False).count()
+    assert n == 0
