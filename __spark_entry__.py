@@ -530,7 +530,8 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
     docs = spark.table("documents").filter("doc_id % 2 = 0")
-    return DD.ngram_jaccard_pairs(docs, 0.35, n=4, use_words=True)
+    return DD.ngram_jaccard_pairs(docs, 0.35, n=4, use_words=True,
+                                  max_doc_freq=None)  # uncapped: exact oracle
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

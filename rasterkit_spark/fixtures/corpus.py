@@ -173,10 +173,14 @@ class Corpus:
 
 def make_media_catalog(n_media: int = 12, seed: int = SEED,
                        sizes=(17, 32, 48, 64),
-                       rgb_every: int = 0) -> pd.DataFrame:
+                       rgb_every: int = 0, tile_size: int = 16,
+                       rps_choices=(4, 8, 16),
+                       null_rps_every: int = 6) -> pd.DataFrame:
     """``rgb_every > 0`` makes every ``rgb_every``-th raster a 3-sample
     (interleaved RGB) image — 0 keeps the historical all-grayscale corpus
-    so existing VALUES oracles stay stable."""
+    so existing VALUES oracles stay stable.  ``tile_size``/``rps_choices``
+    set the chunk geometry (COG-scale benches use 256-px tiles; the
+    16-px default keeps the tiny parity corpora multi-tile)."""
     rng = np.random.default_rng(seed)
     rows = []
     for j in range(n_media):
@@ -204,10 +208,14 @@ def make_media_catalog(n_media: int = 12, seed: int = SEED,
         rps = 0
         tile_w = tile_h = 0
         if tiled:
-            tile_w = tile_h = 16
+            tile_w = tile_h = tile_size
         else:
             # include the NULL case → reference quirk default = image WIDTH
-            rps = 0 if j % 6 == 5 else int(rng.choice([4, 8, 16]))
+            # (null_rps_every=0 disables: at 2048-px bench geometry the
+            # quirk makes one whole-image 4 MB chunk — a deliberate skew
+            # monster that belongs in parity corpora, not throughput runs)
+            is_null = null_rps_every and j % null_rps_every == 5
+            rps = 0 if is_null else int(rng.choice(list(rps_choices)))
         epsg = 3857 if j % 2 == 0 else 4326
         if epsg == 3857:
             pixel_s = float(rng.choice([50.0, 100.0, 200.0]))
@@ -494,10 +502,14 @@ def make_zones(catalog: pd.DataFrame | None = None, n_zones: int = 8,
 
 def build_corpus(n_media: int = 12, n_docs: int = 200,
                  n_queries: int = 25, seed: int = SEED,
-                 sizes=(17, 32, 48, 64), rgb_every: int = 0) -> Corpus:
+                 sizes=(17, 32, 48, 64), rgb_every: int = 0,
+                 tile_size: int = 16, rps_choices=(4, 8, 16),
+                 levels: int = 3, null_rps_every: int = 6) -> Corpus:
     catalog = make_media_catalog(n_media, seed, sizes=sizes,
-                                 rgb_every=rgb_every)
-    tiles, pixels = make_tiles(catalog, seed=seed)
+                                 rgb_every=rgb_every, tile_size=tile_size,
+                                 rps_choices=rps_choices,
+                                 null_rps_every=null_rps_every)
+    tiles, pixels = make_tiles(catalog, levels=levels, seed=seed)
     docs = make_docs(catalog, n_docs, seed)
     colormaps = make_colormaps(seed)
     qb, qp, qg = make_queries(catalog, n_queries, seed)

@@ -83,15 +83,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                         n: int = 5, text_col: str = "text",
                         id_col: str = "doc_id",
                         use_words: bool = False,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = 10_000) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingle sets.
 
     inverted index: explode distinct shingles → self-join on shingle →
     count shared → |A∪B| = |A|+|B|−shared.  Output jaccard scaled ×1e6
-    (floor) for float-free comparison.  ``max_doc_freq`` caps ultra-frequent
-    shingles before the self-join (they contribute pairs quadratically) —
-    leave None for exact semantics (the oracle-checked default); set it at
-    corpus scale where dropping stop-shingles is the standard trade."""
+    (floor) for float-free comparison.
+
+    ``max_doc_freq`` caps ultra-frequent shingles before the self-join —
+    a shingle in d docs contributes d² candidate pairs, so ONE global
+    stop-shingle makes the join quadratic in corpus size.  The default cap
+    (10k) is a no-op on small corpora but bounds any single shingle's
+    contribution to 10⁸ pairs at scale; pass None for uncapped exact
+    semantics (what the oracle-checked driver query does explicitly)."""
     from ..session import ensure_parallelism
     docs = ensure_parallelism(docs)
     tok = docs.select(

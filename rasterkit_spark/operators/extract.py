@@ -130,9 +130,15 @@ def join_tiles(keys: DataFrame, tiles: DataFrame,
     return k.join(t, ["media_ref", "level", "tile_x", "tile_y"], "inner")
 
 
-def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+def _assemble(pdf: pd.DataFrame, emit_window: bool = True) -> pd.DataFrame:
     """Per-(query_id, media_ref) group: decode every chunk through the shared
-    kernels and clip into the output window (C→W1→P1)."""
+    kernels and clip into the output window (C→W1→P1).
+
+    ``emit_window=False`` still assembles the full window (the sha256
+    proves it) but returns a null ``window`` column — the verification /
+    benchmarking mode, where shipping the pixel payload back through
+    Arrow would only measure serialization (real pipelines write windows
+    executor-side via a sink)."""
     first = pdf.iloc[0]
     rx, ry = int(first.region_x), int(first.region_y)
     rw, rh = int(first.region_w), int(first.region_h)
@@ -151,7 +157,7 @@ def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         "query_id": first.query_id,
         "media_ref": first.media_ref,
         "region_x": rx, "region_y": ry, "region_w": rw, "region_h": rh,
-        "window": bytearray(buf),
+        "window": bytearray(buf) if emit_window else None,
         "window_sha256": hashlib.sha256(buf).hexdigest(),
         "new_origin_x": float(first.new_origin_x),
         "new_origin_y": float(first.new_origin_y),
@@ -159,7 +165,7 @@ def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
-def decode_and_clip(joined: DataFrame) -> DataFrame:
+def decode_and_clip(joined: DataFrame, emit_window: bool = True) -> DataFrame:
     """Group chunks back into clipped windows (Arrow-batched)."""
     cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
             "region_h", "chunk_w", "chunk_h", "compression", "predictor",
@@ -167,17 +173,87 @@ def decode_and_clip(joined: DataFrame) -> DataFrame:
             "new_origin_x", "new_origin_y"]
     return (joined.select(*cols)
             .groupBy("query_id", "media_ref")
-            .applyInPandas(_assemble, WINDOW_SCHEMA))
+            .applyInPandas(lambda pdf: _assemble(pdf, emit_window),
+                           WINDOW_SCHEMA))
+
+
+def _assemble_stream(pdf_iter, emit_window: bool = True):
+    """mapInPandas streaming assembly: rows arrive sorted by
+    (query_id, media_ref) within the partition; accumulate chunks per key
+    across Arrow batches and emit each window when its key closes."""
+    cur_key = None
+    cur_rows: list = []
+
+    def flush():
+        if cur_key is None or not cur_rows:
+            return None
+        return _assemble(pd.concat(cur_rows), emit_window)
+
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        for key, grp in pdf.groupby(["query_id", "media_ref"], sort=False):
+            if key != cur_key and cur_key is not None:
+                out = flush()
+                cur_rows.clear()
+                if out is not None:
+                    yield out
+            cur_key = key
+            cur_rows.append(grp)
+    out = flush()
+    if out is not None:
+        yield out
+
+
+def decode_and_clip_mapside(joined_sorted: DataFrame,
+                            emit_window: bool = True) -> DataFrame:
+    """Map-side window assembly — requires rows already partitioned AND
+    sorted by (query_id, media_ref) (the broadcast-tiles regime below
+    guarantees it).  No group shuffle: the blobs never move."""
+    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
+            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
+            "samples_per_pixel", "tile_x", "tile_y", "blob",
+            "new_origin_x", "new_origin_y"]
+    return joined_sorted.select(*cols).mapInPandas(
+        lambda it: _assemble_stream(it, emit_window), WINDOW_SCHEMA)
 
 
 def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
-            level: int = 0, broadcast_keys: bool = True) -> DataFrame:
+            level: int = 0, broadcast_keys: bool = True,
+            broadcast_tiles: bool = False,
+            emit_window: bool = True) -> DataFrame:
     """End-to-end flagship extraction: bbox queries → clipped windows +
-    adjusted geotransform.  See module docstring for the physical plan."""
+    adjusted geotransform.  See module docstring for the physical plan.
+
+    Two physical strategies, picked by which side is small:
+
+    - default (``broadcast_keys``): broadcast the expanded query keys,
+      stream the big tile table, then ONE group shuffle of the matched
+      blobs into per-(query, media) assembly — the 100-TB regime, where
+      tiles dwarf every other side.
+    - ``broadcast_tiles=True``: broadcast the tile table and keep the
+      blobs where the query keys already live — the matched blobs NEVER
+      shuffle (the group shuffle of decoded-size payloads is the
+      non-scaling term when queries ≫ catalog).  Keys are repartitioned
+      by query (tiny rows), the broadcast join is narrow, and assembly
+      streams map-side over the sorted partition.
+    """
     regions = resolve_regions(queries, catalog)
     keys = expand_tile_keys(regions, level=level)
+    if broadcast_tiles:
+        t = tiles.select("media_ref", "level", "tile_x", "tile_y", "blob")
+        # explicit partition count: the key rows are tiny (no blobs yet),
+        # so AQE would coalesce the shuffle to ~1 partition by byte size —
+        # but the DOWNSTREAM per-row cost (decode+assembly) is huge, and a
+        # coalesced shuffle serializes the whole decode onto one task
+        n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
+        k = keys.repartition(n_parts, "query_id") \
+            .sortWithinPartitions("query_id", "media_ref")
+        joined = k.join(F.broadcast(t),
+                        ["media_ref", "level", "tile_x", "tile_y"], "inner")
+        return decode_and_clip_mapside(joined, emit_window)
     joined = join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
-    return decode_and_clip(joined)
+    return decode_and_clip(joined, emit_window)
 
 
 def extract_pixel_region(queries: DataFrame, catalog: DataFrame,

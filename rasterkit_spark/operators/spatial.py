@@ -446,7 +446,8 @@ def zonal_footprint_pairs(zq: DataFrame, catalog: DataFrame,
 
 def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
                 cover_res: int = 6,
-                broadcast_keys: bool = True) -> DataFrame:
+                broadcast_keys: bool = True,
+                balance: bool = False) -> DataFrame:
     """min/max/sum/count of raster values per (zone polygon, raster).
 
     Pipeline: zone bbox (from WKT) → footprint-overlap pre-join (cell
@@ -476,7 +477,20 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
     zr = zq.join(pairs, "query_id")
     regions = EX.resolve_regions(zr, catalog)
     keys = EX.expand_tile_keys(regions)
-    joined = EX.join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
+    # the partials stage inherits the tile side's partitioning (stream side
+    # of the broadcast join) — a small cached tile table in few partitions
+    # would serialize the decode; widen it (no-op on already-wide tables)
+    from ..session import ensure_parallelism
+    joined = EX.join_tiles(keys, ensure_parallelism(tiles, 3),
+                           broadcast_keys=broadcast_keys)
+    if balance:
+        # the per-row partial cost varies with chunk size (a whole-image
+        # strip is ~64x a 256-px tile) and hot zones replicate hot tiles —
+        # a round-robin repartition of the matched rows evens the stage at
+        # the price of one shuffle of matched blobs.  Off by default: at
+        # raster-corpus scale prefer salting the hot media_refs instead.
+        n = tiles.sparkSession.sparkContext.defaultParallelism * 4
+        joined = joined.repartition(n)
     cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
             "region_h", "chunk_w", "chunk_h", "compression", "predictor",
             "tile_x", "tile_y", "blob", "origin_x", "origin_y",

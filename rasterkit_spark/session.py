@@ -38,7 +38,12 @@ def get_spark(app_name: str = "rasterkit-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 1024 (not the old 10000): blob-heavy plans (64 KB tile rows) turn
+        # a 10k-row Arrow batch into 640 MB per python worker — at 8+
+        # workers that is GBs of concurrent batch churn and extract
+        # anti-scales; 1024 keeps batches ≤64 MB with negligible overhead
+        # for narrow numeric UDFs
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or int(str(cores)) * 2
                     if str(cores).isdigit() else 64))

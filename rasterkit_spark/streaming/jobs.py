@@ -29,6 +29,62 @@ def windowed_event_counts(events_stream: DataFrame,
                     "event_type", "n", "sum_v"))
 
 
+def running_type_stats(events_stream: DataFrame,
+                       idle_timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    event_type running (count, sum, max_ts) maintained across micro-batches
+    in the state store — the arbitrary-stateful path windowed aggregation
+    can't express (running totals never close; a window would).  Timeout
+    emits a final tombstone row (``closed=true``) for idle keys, so
+    downstream compaction knows the key went quiet."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType, StructField, StructType,
+                                   TimestampType)
+
+    out_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_total", LongType()),
+        StructField("sum_total", DoubleType()),
+        StructField("max_ts", TimestampType()),
+        StructField("closed", BooleanType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("mx", LongType()),  # epoch micros (state stores longs)
+    ])
+
+    def update(key, pdf_iter, state: GroupState):
+        (etype,) = key
+        if state.hasTimedOut:
+            n, s, mx = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "event_type": etype, "n_total": n, "sum_total": s,
+                "max_ts": pd.Timestamp(mx, unit="us"), "closed": True}])
+            return
+        n, s, mx = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, int(pdf["ts"].max().value // 1000))
+        state.update((n, s, mx))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame([{
+            "event_type": etype, "n_total": n, "sum_total": s,
+            "max_ts": pd.Timestamp(mx, unit="us"), "closed": False}])
+
+    return (events_stream
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update",
+                GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def incremental_extract(docs_stream: DataFrame, catalog: DataFrame,
                         tiles: DataFrame, queries: DataFrame,
                         sink_path: str, checkpoint_path: str):

@@ -102,3 +102,54 @@ def test_incremental_extract_stream(spark, tmp_path):
     batch = EX.extract_for_docs(sdfs["docs"], sdfs["media_catalog"],
                                 sdfs["tiles"], sdfs["queries_bbox"])
     assert out.count() == batch.count()
+
+
+def test_running_type_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: running per-type totals carried across
+    micro-batches in the state store; the final update per key equals the
+    batch aggregate over the whole input."""
+    import shutil
+
+    from rasterkit_spark.streaming.jobs import running_type_stats
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    src = os.path.join(sf, "events.parquet")
+    batch = spark.read.parquet(src)
+    want = {r["event_type"]: (r["n"], r["s"])
+            for r in batch.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()}
+
+    # two files → two micro-batches (state must persist between them)
+    half = batch.count() // 2
+    d = tmp_path / "stream_src"
+    batch.limit(half).coalesce(1).write.parquet(str(d / "a"))
+    spark.read.parquet(src).subtract(batch.limit(half)) \
+        .coalesce(1).write.parquet(str(d / "b"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    i = 0
+    for sub in ("a", "b"):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, flat / f"{i:02d}.parquet")
+            i += 1
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(flat)))
+    q = (running_type_stats(stream).writeStream
+         .format("memory").queryName("rts").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT * FROM rts").toPandas()
+    assert len(out) > len(want)  # at least one mid-stream update emitted
+    # last update per key == exact batch aggregate
+    final = out.groupby("event_type").last()
+    for etype, (n, s) in want.items():
+        assert int(final.loc[etype, "n_total"]) == n, etype
+        assert abs(float(final.loc[etype, "sum_total"]) - float(s)) < 1e-6
+    assert not final["closed"].any()  # no idle timeouts in this run

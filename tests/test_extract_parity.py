@@ -263,3 +263,17 @@ def test_pixel_region_strict_validation(spark, corpus, sdfs):
                                 sdfs["media_catalog"], sdfs["tiles"],
                                 strict=False).count()
     assert n == 0
+
+
+def test_extract_broadcast_tiles_strategy_same_result(spark, corpus, sdfs):
+    """The map-side (broadcast-tiles, zero-blob-shuffle) strategy must give
+    the identical windows as the group-shuffle strategy."""
+    base = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                      sdfs["tiles"]).select(
+        "query_id", "media_ref", "window_sha256").toPandas() \
+        .sort_values("query_id").reset_index(drop=True)
+    alt = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                     sdfs["tiles"], broadcast_tiles=True).select(
+        "query_id", "media_ref", "window_sha256").toPandas() \
+        .sort_values("query_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, alt)
