@@ -220,13 +220,13 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
     # ---- similarity over an amplified embeddings corpus ----
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     bigemb = emb.crossJoin(
-        spark.range(6 * heavy).select(F.col("id").alias("rep"))) \
+        spark.range(60 * heavy).select(F.col("id").alias("rep"))) \
         .select((F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
                 F.transform("embedding",
                             lambda x: x + F.col("rep") * 0.01).alias("embedding"))
     qe = emb.filter("vec_id % 5 = 0") \
-        .crossJoin(spark.range(heavy).select(F.col("id").alias("qr"))) \
-        .select((F.col("vec_id") * heavy + F.col("qr")).alias("qid"),
+        .crossJoin(spark.range(heavy * 5).select(F.col("id").alias("qr"))) \
+        .select((F.col("vec_id") * 1000 + F.col("qr")).alias("qid"),
                 "embedding")
     n_emb = bigemb.count()
     bench("cosine_topk",

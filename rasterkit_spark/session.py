@@ -43,7 +43,8 @@ def get_spark(app_name: str = "rasterkit-spark",
         # workers that is GBs of concurrent batch churn and extract
         # anti-scales; 1024 keeps batches ≤64 MB with negligible overhead
         # for narrow numeric UDFs
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("RASTERKIT_ARROW_BATCH", "1024"))
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or int(str(cores)) * 2
                     if str(cores).isdigit() else 64))

@@ -30,13 +30,17 @@ def windowed_event_counts(events_stream: DataFrame,
 
 
 def running_type_stats(events_stream: DataFrame,
-                       idle_timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+                       idle_timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per
     event_type running (count, sum, max_ts) maintained across micro-batches
     in the state store — the arbitrary-stateful path windowed aggregation
-    can't express (running totals never close; a window would).  Timeout
-    emits a final tombstone row (``closed=true``) for idle keys, so
-    downstream compaction knows the key went quiet."""
+    can't express (running totals never close; a window would).
+
+    ``idle_timeout_ms`` (continuous jobs only): emit a final tombstone row
+    (``closed=true``) for keys idle that long, so downstream compaction
+    knows the key went quiet.  Leave ``None`` for drain-style runs —
+    with a ProcessingTimeTimeout registered the engine keeps scheduling
+    timeout batches, so ``processAllAvailable()`` never returns."""
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
@@ -73,16 +77,19 @@ def running_type_stats(events_stream: DataFrame,
             if len(pdf):
                 mx = max(mx, int(pdf["ts"].max().value // 1000))
         state.update((n, s, mx))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame([{
             "event_type": etype, "n_total": n, "sum_total": s,
             "max_ts": pd.Timestamp(mx, unit="us"), "closed": False}])
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if idle_timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout)
     return (events_stream
             .groupBy("event_type")
             .applyInPandasWithState(
-                update, out_schema, state_schema, "update",
-                GroupStateTimeout.ProcessingTimeTimeout))
+                update, out_schema, state_schema, "update", timeout_conf))
 
 
 def incremental_extract(docs_stream: DataFrame, catalog: DataFrame,
