@@ -143,12 +143,16 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
              n_lists: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid", qvec_col: str = "embedding",
-             sample_rows: int = 2000, seed: int = 42) -> DataFrame:
+             sample_rows: int = 2000, seed: int = 42,
+             broadcast_queries: bool = True) -> DataFrame:
     """Approximate top-k: centroid-bucketed search probing ``nprobe`` lists.
 
     Scale behavior: the expensive exact scoring touches only
-    ~nprobe/n_lists of the corpus per query; assignment is one narrow
-    Arrow-batched pass; centroids are broadcast (tiny).
+    ~nprobe/n_lists of the corpus per query; assignment AND probing are
+    narrow Arrow-batched passes (the query table is never collected to
+    the driver, so corpus-scale Q works); centroids are broadcast (tiny).
+    ``broadcast_queries=False`` switches the probe join to a shuffle join
+    for query tables too big to broadcast.
 
     Determinism: vectors and centroids are quantized to an integer grid
     (×2^16) and assignment/probing argmins run in exact int64 arithmetic
@@ -160,6 +164,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     cq = quantize(cents).astype(np.int64)  # captured in closures (small)
 
     from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
 
     @pandas_udf(IntegerType())
     def assign_udf(v: pd.Series) -> pd.Series:
@@ -167,23 +172,29 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
         d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
         return pd.Series(d.argmin(1).astype(np.int32))  # first-min = low id
 
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(v: pd.Series) -> pd.Series:
+        m = quantize(np.stack(v.to_numpy())).astype(np.int64)
+        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
+        # stable argsort ties to the lower list_id — same order the SQL
+        # oracle's ROW_NUMBER (ORDER BY d, list_id) produces
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
                           F.col(vec_col).alias("v"),
                           assign_udf(F.col(vec_col)).alias("list_id"))
 
-    q_rows = queries.select(qid_col, qvec_col).collect()  # Q is small by
-    # contract (probe side); corpus-scale query tables should go through
-    # the same assign_udf + a list_id equi-join instead.
-    probe_rows = []
-    for r in q_rows:
-        qq = quantize(np.asarray(r[1])).astype(np.int64)
-        d = ((cq - qq[None, :]) ** 2).sum(-1)
-        for lid in np.argsort(d, kind="stable")[:nprobe]:
-            probe_rows.append((r[0], list(map(float, r[1])), int(lid)))
-    spark = embeddings.sparkSession
-    probes = spark.createDataFrame(probe_rows, ["qid", "qv", "list_id"])
+    # fully distributed probe side: queries are never collected to the
+    # driver — the same quantized argmin runs as an Arrow batch over the
+    # query table, then explodes to (qid, qv, list_id) for the equi-join.
+    probes = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+        F.explode(probe_udf(F.col(qvec_col))).alias("list_id"))
 
-    cand = e.join(F.broadcast(probes), "list_id")
+    cand = e.join(F.broadcast(probes) if broadcast_queries else probes,
+                  "list_id")
     cos = cosine_sim(F.col("qv").cast("array<double>"),
                      F.col("v").cast("array<double>"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.col("nbr_id"))
