@@ -640,6 +640,66 @@ def _zonal_raster_oracle_sql() -> str:
       AS t(zone_id, media_ref, zmin, zmax, zsum, zcount)"""
 
 
+def _lod_corpus_targets():
+    """Shared fixture inputs for the LOD query/oracle: per-query target
+    resolution at 1×/2.5×/5× the base pixel size (→ levels 0/1/2)."""
+    from rasterkit_spark.fixtures import corpus as CP
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    cat = c.media_catalog.set_index("media_ref", drop=False)
+    qpdf = c.queries_bbox.copy()
+    mult = [1.0, 2.5, 5.0]
+    qpdf["target_res"] = [
+        float(cat.loc[r.media_ref, "pixel_sx"]) * mult[i % 3]
+        for i, r in enumerate(qpdf.itertuples())]
+    return c, cat, qpdf
+
+
+def _q_extract_lod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOD-aware extraction: per-query overview level chosen from the
+    target resolution, windows served from that level's tiles."""
+    from pyspark.sql import functions as F
+
+    from rasterkit_spark.operators import extract as EX
+    c, _, qpdf = _lod_corpus_targets()
+    sdfs = c.to_spark(spark, ["queries_bbox", "media_catalog", "tiles"])
+    q = sdfs["queries_bbox"].join(
+        spark.createDataFrame(qpdf[["query_id", "target_res"]]), "query_id")
+    out = EX.extract_auto_level(q, sdfs["media_catalog"], sdfs["tiles"],
+                                max_level=2)
+    return out.select("query_id", "media_ref",
+                      F.col("level").cast("long").alias("level"),
+                      "region_w", "region_h", "window_sha256")
+
+
+def _extract_lod_oracle_sql() -> str:
+    """VALUES oracle from the numpy replay at the level-scaled
+    geotransform (same independent oracle as extract_windows)."""
+    import numpy as _np
+
+    from rasterkit_spark.fixtures import oracle as OR
+    c, cat, qpdf = _lod_corpus_targets()
+    rows = []
+    for r in qpdf.itertuples():
+        cr = cat.loc[r.media_ref]
+        lvl = int(min(max(_np.floor(_np.log2(max(
+            r.target_res / cr.pixel_sx, 1.0))), 0), 2))
+        lvl = min(lvl, max(c.pixels[r.media_ref].keys()))
+        scaled = cr.copy()
+        scaled["width"] = int(cr.width) >> lvl
+        scaled["height"] = int(cr.height) >> lvl
+        scaled["pixel_sx"] = cr.pixel_sx * (1 << lvl)
+        scaled["pixel_sy"] = cr.pixel_sy * (1 << lvl)
+        exp = OR.expected_window(c, r, scaled, level=lvl)
+        rows.append((r.query_id, r.media_ref, lvl, exp["region"][2],
+                     exp["region"][3], exp["sha256"]))
+    vals = ",\n      ".join(
+        f"('{a}', '{b}', {lv}, {w}, {h}, '{s}')"
+        for a, b, lv, w, h, s in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(query_id, media_ref, level, region_w, region_h, window_sha256)"""
+
+
 def _q_rgb_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 RGB stats over extracted windows on a corpus with interleaved
     3-sample rasters (stride predictor, per-channel pyramid)."""
@@ -695,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_windows"] = _q_extract_fixture
     q["zonal_stats_raster"] = _q_zonal_raster
     q["rgb_minmax"] = _q_rgb_minmax
+    q["extract_lod"] = _q_extract_lod
     q["events_tumbling_window"] = _sql_query("""
         SELECT CAST(FLOOR(CAST(unix_timestamp(ts) AS DOUBLE) / 300) AS BIGINT) AS win,
                event_type, COUNT(*) AS n,
@@ -986,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
     o["extract_windows"] = _extract_oracle_sql()
     o["zonal_stats_raster"] = _zonal_raster_oracle_sql()
     o["rgb_minmax"] = _rgb_minmax_oracle_sql()
+    o["extract_lod"] = _extract_lod_oracle_sql()
     o["ann_ivf_topk"] = _ann_ivf_oracle_sql()
     return o
 

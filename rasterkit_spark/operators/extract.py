@@ -67,6 +67,33 @@ def normalized_chunk_cols() -> list:
     return [chunk_w.alias("chunk_w"), chunk_h.alias("chunk_h")]
 
 
+def _catalog_select(catalog: DataFrame) -> DataFrame:
+    spp = (F.col("samples_per_pixel") if "samples_per_pixel"
+           in catalog.columns else F.lit(1)).alias("samples_per_pixel")
+    return catalog.filter(F.col("media_kind") == "raster").select(
+        "media_ref", "width", "height", "tile_w", "tile_h", "rows_per_strip",
+        "epsg", "pixel_sx", "pixel_sy", "origin_x", "origin_y",
+        "compression", "predictor", spp, *normalized_chunk_cols())
+
+
+def _resolve_regions_joined(q: DataFrame, has_radius: bool) -> DataFrame:
+    """Region + adjusted-tiepoint columns over an already query×catalog
+    joined frame (the geotransform columns may be level-scaled)."""
+    region = geo.region_dispatch(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+        F.col("crs"), F.col("epsg"),
+        F.col("origin_x"), F.col("pixel_sx"),
+        F.col("origin_y"), -F.col("pixel_sy"),
+        F.col("width"), F.col("height"),
+        F.col("radius_m") if has_radius else F.lit(None).cast("double"))
+    out = q.select("*", *region)
+    tie = geo.adjusted_tiepoint_cols(
+        F.col("region_x"), F.col("region_y"),
+        F.col("origin_x"), F.col("origin_y"),
+        F.col("pixel_sx"), F.col("pixel_sy"))
+    return out.select("*", *tie)
+
+
 def resolve_regions(queries: DataFrame, catalog: DataFrame) -> DataFrame:
     """Join bbox queries to the raster catalog and compute pixel regions.
 
@@ -74,27 +101,10 @@ def resolve_regions(queries: DataFrame, catalog: DataFrame) -> DataFrame:
     ``queries`` needs columns: query_id, media_ref, minx/miny/maxx/maxy,
     crs, radius_m (nullable).
     """
-    spp = (F.col("samples_per_pixel") if "samples_per_pixel"
-           in catalog.columns else F.lit(1)).alias("samples_per_pixel")
-    cat = catalog.filter(F.col("media_kind") == "raster").select(
-        "media_ref", "width", "height", "tile_w", "tile_h", "rows_per_strip",
-        "epsg", "pixel_sx", "pixel_sy", "origin_x", "origin_y",
-        "compression", "predictor", spp, *normalized_chunk_cols())
+    cat = _catalog_select(catalog)
     q = queries.join(F.broadcast(cat), "media_ref", "inner")
     # geotransform: pixel_h = -pixel_sy (G8)
-    region = geo.region_dispatch(
-        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
-        F.col("crs"), F.col("epsg"),
-        F.col("origin_x"), F.col("pixel_sx"),
-        F.col("origin_y"), -F.col("pixel_sy"),
-        F.col("width"), F.col("height"),
-        F.col("radius_m") if "radius_m" in queries.columns else F.lit(None).cast("double"))
-    out = q.select("*", *region)
-    tie = geo.adjusted_tiepoint_cols(
-        F.col("region_x"), F.col("region_y"),
-        F.col("origin_x"), F.col("origin_y"),
-        F.col("pixel_sx"), F.col("pixel_sy"))
-    return out.select("*", *tie)
+    return _resolve_regions_joined(q, "radius_m" in queries.columns)
 
 
 def expand_tile_keys(regions: DataFrame, level: int = 0) -> DataFrame:
@@ -113,8 +123,9 @@ def expand_tile_keys(regions: DataFrame, level: int = 0) -> DataFrame:
         F.sequence(F.col("start_tile_y"), F.col("end_tile_y") - 1)))
     r = r.withColumn("tile_x", F.explode(
         F.sequence(F.col("start_tile_x"), F.col("end_tile_x") - 1)))
-    return r.withColumn("level", F.lit(level)).drop(
-        "start_tile_x", "start_tile_y", "end_tile_x", "end_tile_y")
+    if "level" not in regions.columns:  # per-row levels (LOD) pass through
+        r = r.withColumn("level", F.lit(level))
+    return r.drop("start_tile_x", "start_tile_y", "end_tile_x", "end_tile_y")
 
 
 def join_tiles(keys: DataFrame, tiles: DataFrame,
@@ -254,6 +265,62 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
         return decode_and_clip_mapside(joined, emit_window)
     joined = join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
     return decode_and_clip(joined, emit_window)
+
+
+def catalog_at_levels(catalog: DataFrame, max_level: int) -> DataFrame:
+    """Raster catalog × overview levels 0..max_level with the level-scaled
+    geotransform: dims floor-halve per level (matching A5 pyramid
+    generation — floor halving composes, so dims_ℓ = dims >> ℓ) and pixel
+    scale doubles; tile dims / rows_per_strip are level-invariant (the
+    NULL-rps quirk resolves against the LEVEL width via the normalized
+    chunk columns).  Adds ``level`` and keeps ``pixel_s0`` (the base
+    resolution LOD selection compares against)."""
+    c = _catalog_select(catalog).withColumn(
+        "level", F.explode(F.sequence(F.lit(0), F.lit(max_level))))
+    # 2^level as DOUBLE is exact (small powers of two); floor-div keeps the
+    # dims integer-exact — shiftleft/shiftright need literal bit counts
+    two_l = F.pow(F.lit(2.0), F.col("level").cast("double"))
+    scaled = (c.withColumn("pixel_s0", F.col("pixel_sx"))
+              .withColumn("width",
+                          F.floor(F.col("width") / two_l).cast("int"))
+              .withColumn("height",
+                          F.floor(F.col("height") / two_l).cast("int"))
+              .withColumn("pixel_sx", F.col("pixel_sx") * two_l)
+              .withColumn("pixel_sy", F.col("pixel_sy") * two_l))
+    # re-derive chunk geometry against the level dims (strips: cw = width)
+    return scaled.drop("chunk_w", "chunk_h").select(
+        "*", *normalized_chunk_cols())
+
+
+def extract_auto_level(queries: DataFrame, catalog: DataFrame,
+                       tiles: DataFrame, max_level: int = 2,
+                       target_col: str = "target_res",
+                       broadcast_keys: bool = True,
+                       emit_window: bool = True) -> DataFrame:
+    """LOD-aware extraction (S7 overview read + §4 level selection, wired
+    into the flagship pipeline): each query carries a target resolution
+    (map units per output pixel); the overview whose effective pixel size
+    best reaches it — level = clamp(floor(log2(target/pixel_s0)), 0,
+    max_level) — serves the window, at that level's geotransform.
+
+    One plan, no per-level driver loop: queries join the level-expanded
+    catalog, keep their selected level's row, and flow through the same
+    region→keys→join→decode pipeline with per-row levels.
+    """
+    cat = catalog_at_levels(catalog, max_level)
+    q = queries.join(F.broadcast(cat), "media_ref", "inner")
+    ratio = F.when(F.col("pixel_s0") > 0,
+                   F.col(target_col) / F.col("pixel_s0")).otherwise(F.lit(1.0))
+    want = F.least(F.greatest(
+        F.floor(F.log2(F.greatest(ratio, F.lit(1.0)))), F.lit(0)),
+        F.lit(max_level)).cast("int")
+    q = q.filter(F.col("level") == want)
+    regions = _resolve_regions_joined(q, "radius_m" in queries.columns)
+    keys = expand_tile_keys(regions)
+    joined = join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
+    out = decode_and_clip(joined, emit_window)
+    lv = regions.select("query_id", "media_ref", "level")
+    return out.join(lv, ["query_id", "media_ref"])
 
 
 def extract_pixel_region(queries: DataFrame, catalog: DataFrame,

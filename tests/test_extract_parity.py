@@ -277,3 +277,43 @@ def test_extract_broadcast_tiles_strategy_same_result(spark, corpus, sdfs):
         "query_id", "media_ref", "window_sha256").toPandas() \
         .sort_values("query_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, alt)
+
+
+# ---------------------------------------------------------------------------
+# S7/§4 — LOD-aware extraction (per-query overview level)
+# ---------------------------------------------------------------------------
+
+def test_extract_auto_level_matches_oracle(spark, corpus, sdfs):
+    """Each query picks its overview by target resolution; windows must be
+    byte-equal to the numpy oracle run against the level-scaled
+    geotransform and that level's tile blobs."""
+    cat = corpus.media_catalog.set_index("media_ref", drop=False)
+    qpdf = corpus.queries_bbox.copy()
+    # deterministic per-query target: 1x / 2.5x / 5x the base pixel size
+    mult = [1.0, 2.5, 5.0]
+    qpdf["target_res"] = [
+        float(cat.loc[r.media_ref, "pixel_sx"]) * mult[i % 3]
+        for i, r in enumerate(qpdf.itertuples())]
+    q = sdfs["queries_bbox"].join(
+        spark.createDataFrame(qpdf[["query_id", "target_res"]]), "query_id")
+    out = EX.extract_auto_level(q, sdfs["media_catalog"], sdfs["tiles"],
+                                max_level=2).toPandas().set_index("query_id")
+    assert len(out) == len(qpdf)
+    lvl_seen = set()
+    for i, r in enumerate(qpdf.itertuples()):
+        c = cat.loc[r.media_ref]
+        want_lvl = int(min(max(np.floor(np.log2(max(
+            r.target_res / c.pixel_sx, 1.0))), 0), 2))
+        want_lvl = min(want_lvl, max(corpus.pixels[r.media_ref].keys()))
+        got = out.loc[r.query_id]
+        assert int(got.level) == want_lvl, (r.query_id, got.level, want_lvl)
+        lvl_seen.add(want_lvl)
+        scaled = c.copy()
+        scaled["width"] = int(c.width) >> want_lvl
+        scaled["height"] = int(c.height) >> want_lvl
+        scaled["pixel_sx"] = c.pixel_sx * (1 << want_lvl)
+        scaled["pixel_sy"] = c.pixel_sy * (1 << want_lvl)
+        exp = OR.expected_window(corpus, r, scaled, level=want_lvl)
+        assert got.window_sha256 == exp["sha256"], r.query_id
+        assert got.new_origin_x == exp["new_origin_x"]
+    assert {0, 1, 2} <= lvl_seen  # all levels actually exercised
