@@ -126,6 +126,14 @@ def wgs84_to_webmercator_inline(lon, lat):
     lat clamped to ±85.06 (src/utils/image_extraction_utils.rs:255-269).
     This is the variant on the extraction critical path — fixture parity
     follows it, not ``wgs84_to_webmercator``.
+
+    Precision note: near lat≈0 the expression is ill-conditioned —
+    tan((lat+90)·π/360) ≈ 1, and log(1+ε) turns a 1-ulp libm difference
+    in tan (numpy SIMD vs libm scalar vs Rust's libm) into ~2.2e-16
+    absolute, amplified ×20037508.34/π ≈ 6.4e6 to ~1.4e-9 m per ulp.
+    Cross-implementation agreement is therefore only to a few nanometers
+    of y near the equator; floor/ceil region math is unaffected unless a
+    region boundary lands within ~1e-8 m of a pixel edge.
     """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.clip(np.asarray(lat, dtype=np.float64),

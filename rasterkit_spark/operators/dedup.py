@@ -83,7 +83,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                         n: int = 5, text_col: str = "text",
                         id_col: str = "doc_id",
                         use_words: bool = False,
-                        max_doc_freq: int | None = 10_000) -> DataFrame:
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingle sets.
 
     inverted index: explode distinct shingles → self-join on shingle →
@@ -92,10 +92,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
 
     ``max_doc_freq`` caps ultra-frequent shingles before the self-join —
     a shingle in d docs contributes d² candidate pairs, so ONE global
-    stop-shingle makes the join quadratic in corpus size.  The default cap
-    (10k) is a no-op on small corpora but bounds any single shingle's
-    contribution to 10⁸ pairs at scale; pass None for uncapped exact
-    semantics (what the oracle-checked driver query does explicitly)."""
+    stop-shingle makes the join quadratic in corpus size.  The default
+    (None) keeps the documented exact semantics; scale-conscious callers
+    opt in (10_000 bounds any single shingle's contribution to 10⁸ pairs —
+    note that capped results are APPROXIMATE: pairs whose overlap lives
+    only in dropped stop-shingles under-count)."""
     from ..session import ensure_parallelism
     docs = ensure_parallelism(docs)
     tok = docs.select(
@@ -298,7 +299,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens: per-token md5-derived 60-bit
     value; bit b contributes +1/−1; sign of the sum sets the output bit.
-    (60 usable bits from the portable md5-int; bits 60-63 are zero.)"""
+    (60 usable bits from the portable md5-int; bits 60-63 are zero.)
+
+    This Column flavor is the SQL-replayable *spec* (the DuckDB oracle
+    runs its literal translation); hot paths use :func:`simhash64_udf`,
+    which computes the identical integer math vectorized — the 60
+    ``F.aggregate`` HOFs here evaluate interpreted, outside codegen."""
     toks = F.filter(F.split(F.trim(text), " "), lambda w: F.length(w) > 0)
     hs = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 15),
                                             16, 10).cast("long"))
@@ -314,6 +320,43 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash64_udf():
+    """Arrow-batched numpy SimHash — bit-identical to :func:`simhash64`
+    (same md5 60-bit token values, integer bit votes, strict votes>0), but
+    vectorized: the Column flavor builds SIXTY ``F.aggregate`` HOFs per doc,
+    which fall out of whole-stage codegen and evaluate interpreted (the
+    same trap minhash_sig_udf documents — 10-30× penalty; at corpus scale
+    this was the slowest per-doc signature in the repo).  Exact integer
+    math throughout, so the SQL oracle replay of simhash64 stays green."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    bit_idx = np.arange(60, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def _udf(text):
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            toks = [w for w in t.strip().split(" ") if w]
+            if not toks:
+                continue  # empty → all votes 0 → sig 0 (matches Column)
+            hs = np.fromiter(
+                (int(_hl.md5(w.encode()).hexdigest()[:15], 16) for w in toks),
+                dtype=np.uint64, count=len(toks))
+            bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n,60)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.where(votes > 0, np.uint64(1) << bit_idx,
+                           np.uint64(0)).sum(dtype=np.uint64)
+            out[i] = np.int64(sig)  # bits 60-63 are zero → no overflow
+        return pd.Series(out)
+
+    return _udf
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash: band on 4×15-bit chunks (any equal chunk →
@@ -321,7 +364,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     from ..session import ensure_parallelism
     docs = ensure_parallelism(docs)
     s = docs.select(F.col(id_col).alias("id"),
-                    simhash64(F.col(text_col)).alias("sig"))
+                    simhash64_udf()(F.col(text_col)).alias("sig"))
     chunks = s.select("id", "sig", F.explode(F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright("sig", c * 15).bitwiseAND(F.lit((1 << 15) - 1))
@@ -350,7 +393,12 @@ def cosine_sim(a: Column, b: Column) -> Column:
     """Exact cosine via higher-order functions (JVM-side, no UDF).
 
     Inputs are cast to array<double> first: float32 element products would
-    lose precision differently from any SQL oracle replaying the math."""
+    lose precision differently from any SQL oracle replaying the math.
+
+    This is the SQL-replayable *spec*; hot paths score with
+    :func:`cos_e6_seq_udf`, which reproduces the same doubles bit-exactly
+    (sequential summation via cumsum) at vector speed — the nested
+    aggregate/zip_with tree here evaluates interpreted, outside codegen."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -360,6 +408,36 @@ def cosine_sim(a: Column, b: Column) -> Column:
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
     return dot / (na * nb)
+
+
+def cos_e6_seq_udf():
+    """Arrow-batched ``floor(cosine × 1e6)`` scorer, bit-identical to
+    ``F.floor(cosine_sim(a, b) * 1e6).cast("long")``.
+
+    Parity argument: the HOF folds ``((0.0+p₀)+p₁)+…`` left-to-right;
+    ``np.cumsum`` performs the exact same sequence of IEEE additions (it is
+    documented NOT to use pairwise summation), so dot/na/nb — and therefore
+    the floored e6 value — come out as the same doubles the SQL oracle
+    computes.  A plain matmul would differ in the last ulp (blocked/FMA
+    summation) and can flip cos_e6 at integer boundaries — e.g. an exact
+    self-match must floor to 1000000, not 999999."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _udf(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype=np.int64)
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dot = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        return pd.Series(np.floor(dot / (na * nb) * 1e6).astype(np.int64))
+
+    return _udf
 
 
 def hyperplane_weights(n_planes: int, dim: int) -> "np.ndarray":
@@ -400,14 +478,23 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
     B, R = n_bands, band_planes
-    W = hyperplane_weights(B * R, dim)  # (B*R, dim) of ±1, tiny — closure
+    # dim unknown → derive it lazily from the first Arrow batch inside the
+    # UDF (the plane family is deterministic in (index, dim), so every
+    # executor derives the identical matrix) — no driver action before the
+    # signature stage.  Explicit dim still precomputes the closure matrix.
+    _w_cache: dict[int, np.ndarray] = (
+        {dim: hyperplane_weights(B * R, dim)} if dim is not None else {})
 
     @pandas_udf(ArrayType(LongType()))
     def band_sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         M = np.stack(v.to_numpy()).astype(np.float64)
+        d = M.shape[1]
+        W = _w_cache.get(d)
+        if W is None:
+            W = _w_cache[d] = hyperplane_weights(B * R, d)
         vq = np.floor(M * quant_scale + 0.5).astype(np.int64)
         bits = (vq @ W.T >= 0).astype(np.int64)      # (n, B*R)
         sigs = np.zeros((len(M), B), dtype=np.int64)
@@ -427,8 +514,12 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
             .select("id_a", "id_b").distinct())
     va = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    cos = cosine_sim(F.col("v_a"), F.col("v_b"))
+    # verification scoring: vectorized sequential-sum cosine (bit-equal to
+    # the HOF cosine_sim the oracle replays — see cos_e6_seq_udf)
+    score = cos_e6_seq_udf()
     return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cos_e6", F.floor(cos * 1e6).cast("long"))
+            .withColumn("cos_e6",
+                        score(F.col("v_a").cast("array<double>"),
+                              F.col("v_b").cast("array<double>")))
             .filter(F.col("cos_e6") >= int(threshold * 1e6))
             .select("id_a", "id_b", "cos_e6"))

@@ -260,6 +260,19 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         span_y = max(float(row[4]) - lo_y, eps)
     else:
         lo_x, span_x, lo_y, span_y = frame
+        # an out-of-frame coordinate clamps into an edge cell and silently
+        # breaks the certificate's points-lie-inside-their-cells premise —
+        # hard-error instead (the same agg that counts points already
+        # carries both sides' min/max, so this costs nothing extra)
+        if row[1] is not None:
+            mnx, mxx = float(row[1]), float(row[2])
+            mny, mxy = float(row[3]), float(row[4])
+            if (mnx < lo_x or mxx > lo_x + span_x or
+                    mny < lo_y or mxy > lo_y + span_y):
+                raise ValueError(
+                    f"knn_join: explicit frame {frame} does not contain all "
+                    f"coordinates (data bbox x=[{mnx}, {mxx}], "
+                    f"y=[{mny}, {mxy}]); pass frame=None to derive it")
     cell_w = span_x / n
     cell_h = span_y / n
     min_extent = min(cell_w, cell_h)

@@ -32,7 +32,17 @@ def test_merc_inline_matches_scalar(lon, lat):
     x, y = K.wgs84_to_webmercator_inline(np.array([lon]), np.array([lat]))
     sx, sy = scalar_merc_inline(lon, lat)
     assert x[0] == pytest.approx(sx, rel=1e-12, abs=1e-9)
-    assert y[0] == pytest.approx(sy, rel=1e-12, abs=1e-9)
+    # Conditioning-aware tolerance for y.  Near lat≈0 the formula is
+    # y = C·log(tan(θ)) with tan(θ)≈1, so log(1+ε) amplifies a 1-ulp libm
+    # difference (numpy SIMD tan vs math.tan) by C = 20037508.34/π ≈ 6.4e6:
+    # one ulp of 1.0 (2.22e-16) becomes ~1.4e-9 m absolute.  Allow ~16 ulps
+    # of tan slack (≈2.3e-8 m — a few nanometers on the ground); the same
+    # slack exists vs the Rust reference's libm and can only perturb the
+    # floor/ceil region math if a region edge lands within ~1e-8 m of a
+    # pixel boundary, which the fixtures never do (see kernels.py
+    # wgs84_to_webmercator_inline docstring).
+    ulp_amp = 16 * 2.220446049250313e-16 * 20037508.34 / math.pi
+    assert y[0] == pytest.approx(sy, rel=1e-12, abs=ulp_amp)
 
 
 @given(st.floats(-180, 180), st.floats(-85, 85))

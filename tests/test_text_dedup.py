@@ -272,3 +272,62 @@ def test_multimodal_real_tiff_decode_resize_features(spark):
     hist, _ = np.histogram(img1, bins=16, range=(0, 256))
     np.testing.assert_allclose(f1, hist / hist.sum(), rtol=1e-6)
     assert abs(f1.sum() - 1.0) < 1e-5
+
+
+def test_simhash_udf_matches_column_spec(spark):
+    """simhash64_udf (vectorized hot path) must be bit-identical to the
+    simhash64 Column spec the SQL oracle replays — including empty text,
+    repeated whitespace, and single-token docs."""
+    texts = ["the quick brown fox", "", "   ", "one",
+             "a a a b", "the quick brown fox jumps over the lazy dog",
+             "x " * 50, "unicode тест 漢字 mixed"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [str(i) for i in range(len(texts))],
+                      "text": texts}))
+    spec = df.select("doc_id",
+                     DD.simhash64(F.col("text")).alias("sig")).toPandas()
+    fast = df.select("doc_id",
+                     DD.simhash64_udf()(F.col("text")).alias("sig")).toPandas()
+    merged = spec.merge(fast, on="doc_id", suffixes=("_spec", "_fast"))
+    assert (merged.sig_spec == merged.sig_fast).all()
+
+
+def test_cos_e6_seq_udf_matches_hof(spark):
+    """cos_e6_seq_udf must reproduce floor(cosine_sim*1e6) bit-exactly —
+    including the exact self-match (must be 1000000, the case a blocked
+    matmul can floor to 999999)."""
+    rng = np.random.default_rng(11)
+    vecs = [rng.normal(size=64).astype(np.float64).tolist()
+            for _ in range(40)]
+    rows = []
+    for i in range(40):
+        j = (i * 7) % 40
+        rows.append(("p%d" % i, vecs[i], vecs[j]))
+    rows.append(("self", vecs[0], vecs[0]))  # exact self-match
+    pdf = pd.DataFrame(rows, columns=["pid", "a", "b"])
+    df = spark.createDataFrame(pdf)
+    hof = df.select(
+        "pid", F.floor(DD.cosine_sim(F.col("a"), F.col("b")) * 1e6)
+        .cast("long").alias("c")).toPandas()
+    fast = df.select(
+        "pid", DD.cos_e6_seq_udf()(F.col("a").cast("array<double>"),
+                                   F.col("b").cast("array<double>"))
+        .alias("c")).toPandas()
+    m = hof.merge(fast, on="pid", suffixes=("_h", "_f"))
+    assert (m.c_h == m.c_f).all()
+    assert int(m.loc[m.pid == "self", "c_h"].iloc[0]) == 1_000_000
+
+
+def test_knn_join_rejects_out_of_frame(spark):
+    from rasterkit_spark.operators import spatial as SP
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": ["a", "b", "c"],
+                      "x": [0.1, 0.5, 2.5],   # 2.5 outside frame
+                      "y": [0.2, 0.6, 0.3]}))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": ["q"], "x": [0.4], "y": [0.4]}))
+    with pytest.raises(ValueError, match="does not contain"):
+        SP.knn_join(pts, qs, 2, frame=(0.0, 1.0, 0.0, 1.0))
+    # containing frame still works
+    out = SP.knn_join(pts, qs, 2, frame=(0.0, 3.0, 0.0, 1.0)).toPandas()
+    assert set(out.nbr_id) == {"b", "a"} or len(out) == 2
