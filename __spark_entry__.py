@@ -894,20 +894,29 @@ def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
     WHERE cos_e6 >= {int(threshold * 1e6)}"""
 
 
-def _ann_ivf_oracle_sql(n_lists: int = 8, nprobe: int = 4, k: int = 5) -> str:
+def _ann_ivf_oracle_sql(n_lists: int = 8, nprobe: int = 4, k: int = 5,
+                        sf_dir: str | None = None) -> str:
     """Full SQL replay of the IVF index: the converged k-means centroids
     are re-fit here from the same deterministic sample the engine uses
     (first 2000 vectors by vec_id, identical numpy fit) and inlined as
     literals; assignment + probing run in the same exact integer-grid
     arithmetic (×2^16 quantization, int64 distances, list_id tie-break),
     so list membership matches the engine bit-for-bit; scoring replays
-    floor(cos×1e6) like the cosine_topk oracle."""
+    floor(cos×1e6) like the cosine_topk oracle.
+
+    ``sf_dir`` selects the parquet dir the centroids are fit from; it
+    MUST be the same dir the harness registered as DuckDB views (and
+    the same dir the Spark query side reads), or the inlined centroid
+    literals silently mismatch.  Defaults to $ORACLE_SF_DIR, falling
+    back to the driver gate's sf0.01 — see oracle_sql() for the
+    contract."""
     import duckdb as _dd
     import numpy as _np
 
     from rasterkit_spark.operators.similarity import (QUANT_SCALE,
                                                       _kmeans_fit, quantize)
-    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir is None:
+        sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = _dd.connect()
     emb = con.sql(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
@@ -981,6 +990,15 @@ def _extract_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB-runnable oracle SQL per queries() key.
+
+    Contract: most entries are pure strings over the pre-registered table
+    views.  The ``ann_ivf_topk`` entry is DATA-DEPENDENT — its centroid
+    literals are fit from the embeddings parquet at $ORACLE_SF_DIR
+    (default /root/testdata/sf0.01, the driver-gate scale).  When running
+    the oracle against any other sf dir, set ORACLE_SF_DIR to that dir (or
+    call _ann_ivf_oracle_sql(sf_dir=...) directly) so both sides fit
+    identical centroids."""
     o = dict(PORTABLE_SQL)
 
     o["tile_range_join"] = _TILE_RANGE_CTE + """,

@@ -148,7 +148,9 @@ def expected_zonal(corpus: Corpus, res: int = 6) -> pd.DataFrame:
                 c.origin_y, -c.pixel_sy, c.width, c.height,
                 4326, int(c.epsg), None))
             img = corpus.pixels[c.media_ref][0]
-            win = img[ry: ry + rh, rx: rx + rw]
+            if img.ndim == 3:  # RGB → luma8 first (A1 grayscale-stats
+                img = K.rgb_to_luma8(img)  # semantics; per-pixel, so
+            win = img[ry: ry + rh, rx: rx + rw]  # per-tile == whole-image
             gx = c.origin_x + (rx + np.arange(win.shape[1]) + 0.5) * c.pixel_sx
             gy = c.origin_y - (ry + np.arange(win.shape[0]) + 0.5) * c.pixel_sy
             mx, my = np.meshgrid(gx, gy)

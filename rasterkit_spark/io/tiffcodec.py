@@ -264,15 +264,34 @@ class GeoKeyEntry:
     value_offset: int
 
 
+# Projected CRSs that live inside the mostly-geographic EPSG 4xxx block
+# (public EPSG registry): World Equidistant Cylindrical (4087/4088),
+# Mexico ITRF92 UTM zones (4484-4489), CGCS2000 / Gauss-Kruger CM zones
+# (4491-4554) and 3-degree CM zones (4568-4589), ETRS89 / LCC Germany
+# N-E (4839).  Writing these as geographic would emit GTModelType=2 +
+# GeographicTypeGeoKey and other readers would misinterpret the CRS.
+_PROJECTED_IN_4XXX = frozenset(
+    {4087, 4088, 4839}
+    | set(range(4484, 4490))
+    | set(range(4491, 4555))
+    | set(range(4568, 4590)))
+
+
 def geokey_entries(epsg: int, citation: str | None = None,
-                   inv_flattening: float | None = None) -> list[Entry]:
+                   inv_flattening: float | None = None,
+                   geographic: bool | None = None) -> list[Entry]:
     """Writer half: the GeoKeyDirectoryTag short array (header 1,1,0,N +
     4-short entries, sorted by key id per spec) plus the Double/Ascii
-    params tags when referenced.  EPSG 4xxx ranges are written geographic
-    (GeographicTypeGeoKey), everything else projected
+    params tags when referenced.
+
+    ``geographic=None`` classifies by EPSG code: the 4xxx block is
+    geographic except the known projected interlopers in
+    ``_PROJECTED_IN_4XXX``; everything else is projected
     (ProjectedCSTypeGeoKey) — the same split geo_key_parser.rs's consumers
-    apply."""
-    geographic = 4000 <= epsg <= 4999
+    apply.  Callers with out-of-registry codes should pass the flag
+    explicitly rather than rely on the heuristic."""
+    if geographic is None:
+        geographic = 4000 <= epsg <= 4999 and epsg not in _PROJECTED_IN_4XXX
     keys: list[tuple[int, int, int, int]] = [
         (GKEY_MODEL_TYPE, 0, 1, 2 if geographic else 1),
         (GKEY_RASTER_TYPE, 0, 1, 1),

@@ -306,15 +306,27 @@ def extract_auto_level(queries: DataFrame, catalog: DataFrame,
     One plan, no per-level driver loop: queries join the level-expanded
     catalog, keep their selected level's row, and flow through the same
     region→keys→join→decode pipeline with per-row levels.
+
+    The chosen level is additionally clamped to the deepest level that
+    actually HAS tiles for that raster (pyramids stop once dims < 2, so a
+    shallow raster may not reach ``max_level``): a query whose target
+    selects a missing level falls back to the deepest available overview
+    instead of silently joining zero tiles and vanishing from the output.
+    The per-media max level comes from one column-pruned aggregate over
+    the tile table ((media_ref, level) only — no blobs are read).
     """
     cat = catalog_at_levels(catalog, max_level)
-    q = queries.join(F.broadcast(cat), "media_ref", "inner")
+    max_lvl = tiles.groupBy("media_ref").agg(
+        F.max("level").alias("_max_tile_level"))
+    q = (queries.join(F.broadcast(cat), "media_ref", "inner")
+         .join(F.broadcast(max_lvl), "media_ref", "inner"))
     ratio = F.when(F.col("pixel_s0") > 0,
                    F.col(target_col) / F.col("pixel_s0")).otherwise(F.lit(1.0))
-    want = F.least(F.greatest(
-        F.floor(F.log2(F.greatest(ratio, F.lit(1.0)))), F.lit(0)),
-        F.lit(max_level)).cast("int")
-    q = q.filter(F.col("level") == want)
+    want = F.least(
+        F.greatest(F.floor(F.log2(F.greatest(ratio, F.lit(1.0)))), F.lit(0)),
+        F.lit(max_level),
+        F.col("_max_tile_level")).cast("int")
+    q = q.filter(F.col("level") == want).drop("_max_tile_level")
     regions = _resolve_regions_joined(q, "radius_m" in queries.columns)
     keys = expand_tile_keys(regions)
     joined = join_tiles(keys, tiles, broadcast_keys=broadcast_keys)

@@ -377,13 +377,27 @@ def _zonal_tile_partials(pdf_iter):
     materialized — peak memory is one decoded chunk — and there is no
     group fan-in: rows are independent, the final reduce is a groupBy.
     Pixel-center arithmetic is the exact expression the whole-window
-    path used (ox + (global_px + 0.5)·scale), so results are bit-equal."""
+    path used (ox + (global_px + 0.5)·scale), so results are bit-equal.
+
+    Multi-sample (RGB, spp=3) chunks decode with the sample-aware
+    predictor stride and collapse to luma8 before the stats — the
+    reference's grayscale-stats semantics (A1 calls ``to_luma8()`` first,
+    src/utils/tiff_extraction_utils.rs:41).  Other spp values raise."""
     for pdf in pdf_iter:
         out = []
         for row in pdf.itertuples():
             cw, ch = int(row.chunk_w), int(row.chunk_h)
+            spp = int(getattr(row, "samples_per_pixel", 1) or 1)
+            if spp not in (1, 3):
+                raise ValueError(
+                    f"zonal_stats: unsupported samples_per_pixel={spp} "
+                    f"for {row.media_ref} (expected 1 or 3)")
             chunk = K.decode_chunk(bytes(row.blob), int(row.compression),
-                                   int(row.predictor), cw, ch).reshape(-1, cw)
+                                   int(row.predictor), cw, ch, spp)
+            if spp == 3:
+                chunk = K.rgb_to_luma8(chunk.reshape(-1, cw, 3))
+            else:
+                chunk = chunk.reshape(-1, cw)
             rx, ry = int(row.region_x), int(row.region_y)
             rw, rh = int(row.region_w), int(row.region_h)
             tx0, ty0 = int(row.tile_x) * cw, int(row.tile_y) * ch
@@ -506,8 +520,9 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
         joined = joined.repartition(n)
     cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
             "region_h", "chunk_w", "chunk_h", "compression", "predictor",
-            "tile_x", "tile_y", "blob", "origin_x", "origin_y",
-            "pixel_sx", "pixel_sy", "epsg", "poly_xs", "poly_ys"]
+            "samples_per_pixel", "tile_x", "tile_y", "blob",
+            "origin_x", "origin_y", "pixel_sx", "pixel_sy", "epsg",
+            "poly_xs", "poly_ys"]
     partials = (joined.select(*cols)
                 .withColumnRenamed("query_id", "zone_id")
                 .mapInPandas(_zonal_tile_partials, _ZONAL_PARTIAL_SCHEMA))

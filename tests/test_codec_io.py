@@ -200,3 +200,29 @@ def test_catalog_row_from_tiff_ingestion():
     assert row["pixel_sx"] == 50.0 and row["origin_y"] == 150000.0
     assert row["nodata"] == "255"
     assert row["samples_per_pixel"] == 1
+
+
+def test_geokey_projected_interlopers_in_4xxx():
+    """EPSG 4087 (World Equidistant Cylindrical) is projected despite the
+    4xxx code; the writer must emit ProjectedCSTypeGeoKey/GTModelType=1
+    for it, geographic keys for true 4xxx GCS codes, and honor an
+    explicit flag override."""
+    from rasterkit_spark.io import tiffcodec as TC
+
+    def model_and_key(entries):
+        shorts = entries[0].values
+        keys = {shorts[4 + i * 4]: shorts[7 + i * 4]
+                for i in range(shorts[3])}
+        return keys
+
+    k = model_and_key(TC.geokey_entries(4087))
+    assert k[TC.GKEY_MODEL_TYPE] == 1           # projected
+    assert k[TC.GKEY_PROJECTED_CS_TYPE] == 4087
+    k = model_and_key(TC.geokey_entries(4326))
+    assert k[TC.GKEY_MODEL_TYPE] == 2           # geographic
+    assert k[TC.GKEY_GEOGRAPHIC_TYPE] == 4326
+    k = model_and_key(TC.geokey_entries(4500))  # CGCS2000 Gauss-Kruger
+    assert k[TC.GKEY_MODEL_TYPE] == 1
+    # explicit flag wins over the heuristic
+    k = model_and_key(TC.geokey_entries(4087, geographic=True))
+    assert k[TC.GKEY_MODEL_TYPE] == 2

@@ -317,3 +317,35 @@ def test_extract_auto_level_matches_oracle(spark, corpus, sdfs):
         assert got.window_sha256 == exp["sha256"], r.query_id
         assert got.new_origin_x == exp["new_origin_x"]
     assert {0, 1, 2} <= lvl_seen  # all levels actually exercised
+
+
+def test_extract_auto_level_shallow_pyramid_falls_back(spark):
+    """A target_res that selects a level the pyramid never built must fall
+    back to the deepest level WITH tiles — not silently join zero tiles
+    (the engine used to drop such queries while the oracle capped at the
+    max available level)."""
+    c = CP.build_corpus(n_media=4, n_docs=10, n_queries=6, levels=2)
+    sd = c.to_spark(spark)
+    assert int(c.tiles.level.max()) == 1  # pyramid is shallow by design
+    cat = c.media_catalog.set_index("media_ref", drop=False)
+    qpdf = c.queries_bbox.copy()
+    # huge target resolution → raw level choice is max_level=2 everywhere
+    qpdf["target_res"] = [
+        float(cat.loc[r.media_ref, "pixel_sx"]) * 8.0
+        for r in qpdf.itertuples()]
+    q = sd["queries_bbox"].join(
+        spark.createDataFrame(qpdf[["query_id", "target_res"]]), "query_id")
+    out = EX.extract_auto_level(q, sd["media_catalog"], sd["tiles"],
+                                max_level=2).toPandas()
+    assert len(out) == len(qpdf)          # nothing vanished
+    assert set(out.level) == {1}          # clamped to deepest built level
+    # and the windows are the oracle's level-1 windows
+    for r in qpdf.itertuples():
+        got = out[out.query_id == r.query_id].iloc[0]
+        sc = cat.loc[r.media_ref].copy()
+        sc["width"] = int(sc.width) >> 1
+        sc["height"] = int(sc.height) >> 1
+        sc["pixel_sx"] = sc.pixel_sx * 2
+        sc["pixel_sy"] = sc.pixel_sy * 2
+        exp = OR.expected_window(c, r, sc, level=1)
+        assert got.window_sha256 == exp["sha256"], r.query_id

@@ -160,3 +160,23 @@ def test_hot_cell_salting(spark, points_pdf):
     # hot cell fan-out actually spreads rows over several salts
     assert dist.salt.nunique() >= 4
     assert salted.count() == pts.count()
+
+
+def test_zonal_stats_rgb_rasters_match_oracle(spark):
+    """RGB rasters (spp=3) flow through zonal_stats with the sample-aware
+    predictor stride + luma8 collapse (A1 grayscale-stats semantics) —
+    previously they silently produced wrong geometry/stats."""
+    from rasterkit_spark.fixtures import oracle as OR
+    c = CP.build_corpus(n_media=6, n_docs=20, n_queries=8, rgb_every=2)
+    assert (c.media_catalog.samples_per_pixel == 3).any()
+    sdfs = c.to_spark(spark, ["zones", "media_catalog", "tiles"])
+    got = SP.zonal_stats(sdfs["zones"], sdfs["media_catalog"],
+                         sdfs["tiles"]).toPandas() \
+        .sort_values(["zone_id", "media_ref"]).reset_index(drop=True)
+    want = OR.expected_zonal(c) \
+        .sort_values(["zone_id", "media_ref"]).reset_index(drop=True)
+    # at least one RGB raster actually contributes masked pixels
+    rgb_refs = set(c.media_catalog[
+        c.media_catalog.samples_per_pixel == 3].media_ref)
+    assert (want[want.media_ref.isin(rgb_refs)].zcount > 0).any()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
