@@ -181,13 +181,22 @@ def epsg_description(code: int) -> str:
         return f"GDA94 / MGA zone {code - 28300}"
     if 31466 <= code <= 31469:
         return f"DHDN / 3-degree Gauss-Kruger zone {code - 31464}"
+    # full public GeoTIFF 6.3 registry (X7/X8): every named GCS/PCS/datum/
+    # ellipsoid/projection/vertical code the reference's TOML names
+    from .geotiff_registry import registry_name
+    name = registry_name(code)
+    if name is not None:
+        return name
     return f"EPSG:{code}"
 
 
 # ---------------------------------------------------------------------------
-# X7 — well-known TIFF/GeoTIFF tag-name registry.  The reference ships a
-# 1785-entry TOML (geotiff_tags.toml); we register the tags the engine
-# actually touches, written fresh from the public TIFF 6.0 / GeoTIFF specs.
+# X7 — TIFF/GeoTIFF tag-name registry.  TIFF tag + geokey names below are
+# written fresh from the public TIFF 6.0 / GeoTIFF 1.1 specs; the full
+# section-6.3 code tables (GCS/PCS/datum/ellipsoid/projection/vertical —
+# the reference's 1785-entry geotiff_tags.toml) live in
+# functions/geotiff_registry.py, generated from the published registry by
+# tools/gen_geotiff_registry.py.
 # ---------------------------------------------------------------------------
 
 TAG_NAMES = {
@@ -275,3 +284,14 @@ GEOKEY_NAMES = {
 
 def tag_name(tag: int) -> str:
     return TAG_NAMES.get(tag, f"Tag{tag}")
+
+
+def geokey_name(key_id: int) -> str:
+    return GEOKEY_NAMES.get(key_id, f"GeoKey{key_id}")
+
+
+def geokey_value_name(key_id: int, code: int) -> str:
+    """Registry name for a geokey's VALUE (full §6.3 tables) —
+    e.g. (2048, 4267) → "GCS_NAD27"; falls back to the bare code."""
+    from .geotiff_registry import geokey_value_name as _gvn
+    return _gvn(key_id, code) or str(code)

@@ -226,3 +226,55 @@ def test_geokey_projected_interlopers_in_4xxx():
     # explicit flag wins over the heuristic
     k = model_and_key(TC.geokey_entries(4087, geographic=True))
     assert k[TC.GKEY_MODEL_TYPE] == 2
+
+
+def test_geotiff_registry_full_parity_vs_published_toml():
+    """X7: the generated registry must name every code the reference's
+    copy of the published GeoTIFF 6.3 registry names — sampled across all
+    code sections (≥50 uncommon codes), full names compared exactly."""
+    import os
+    import tomllib
+
+    from rasterkit_spark.functions import geotiff_registry as R
+
+    toml_path = "/root/reference/geotiff_tags.toml"
+    if not os.path.exists(toml_path):
+        import pytest as _pt
+        _pt.skip("published registry copy not present")
+    with open(toml_path, "rb") as f:
+        pub = tomllib.load(f)
+
+    sections = {
+        "geographic_cs_codes": (R.GCS, "GCS_"),
+        "geodetic_datum_codes": (R.DATUMS, "Datum_"),
+        "ellipsoid_codes": (R.ELLIPSOIDS, "Ellipse_"),
+        "prime_meridian_codes": (R.PRIME_MERIDIANS, "PM_"),
+        "projected_cs_codes": (R.PCS, "PCS_"),
+        "projection_codes": (R.PROJECTIONS, "Proj_"),
+        "coord_transformation_codes": (R.COORD_TRANSFORMS, "CT_"),
+        "vertical_cs_codes": (R.VERTICAL_CS, "VertCS_"),
+        "linear_unit_codes": (R.LINEAR_UNITS, "Linear_"),
+        "angular_unit_codes": (R.ANGULAR_UNITS, "Angular_"),
+    }
+    checked = 0
+    for sec, (table, prefix) in sections.items():
+        entries = sorted(pub[sec].items(), key=lambda kv: int(kv[0]))
+        # full count parity per section, then exact names on a spread sample
+        assert len(table) == len(entries), sec
+        step = max(1, len(entries) // 8)
+        for code_s, want in entries[::step]:
+            code = int(code_s)
+            got = R._full(table.get(code), prefix)
+            assert got == want, (sec, code, got, want)
+            checked += 1
+    assert checked >= 50
+    # bare-code classification resolves across ranges (uncommon picks)
+    for code in (20137, 21500, 24200, 29177, 31300, 10404, 11832,
+                 4223, 6277, 7008, 8903, 5024, 9015, 9107):
+        assert R.registry_name(code) is not None, code
+    # and epsg_description now surfaces registry names past its ranges
+    from rasterkit_spark.functions import strings as S
+    assert S.epsg_description(20137) == "PCS_Adindan_UTM_zone_37N"
+    assert S.epsg_description(7030) == "Ellipse_WGS_84"
+    assert S.geokey_value_name(2048, 4267) == "GCS_NAD27"
+    assert S.geokey_value_name(3075, 7) == "CT_Mercator"
