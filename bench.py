@@ -40,7 +40,8 @@ def _rows(df) -> int:
     return df.count()
 
 
-def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
+def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
+                   trials: int | None = None) -> dict[str, dict]:
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -52,10 +53,16 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
     from rasterkit_spark.operators import spatial as SP
 
     heavy = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1"))
-    big = os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1"
+    if big is None:
+        big = os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1"
     results: dict[str, dict] = {}
 
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
+    # default 3 trials, min-over-trials: the sandbox shows ±40% co-tenant
+    # CPU-steal noise, and two one-shot samples across rounds can swing
+    # 2.3× on an unchanged operator (BENCH_r01 vs r02 minhash) — the min
+    # is the least-contended sample and the only cross-round-comparable one
+    if trials is None:
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
     def bench(name, fn, units):
         best, n = None, 0
@@ -66,9 +73,6 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
             best = dt if best is None else min(best, dt)
             print(f"[bench] {name}: {dt:.1f}s rows={n} units={units}",
                   file=sys.stderr, flush=True)
-        # min over trials: the sandbox shows ±40% run-to-run noise from
-        # co-tenant CPU steal; the minimum is the least-contended sample
-        # and the right basis for a scaling comparison
         results[name] = dict(sec=best, rows=int(n),
                              throughput=float(units) / best, units=int(units))
 
@@ -178,6 +182,18 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
                                     "zone_id", "polygon_wkt", res=7)),
           units=n_pts)
 
+    # true-H3 indexing path: feature-detected so the moment the h3 wheel
+    # exists in an environment the hex path is exercised and timed (the
+    # grid quadtree serves the role in wheel-less sandboxes — cells.py)
+    from rasterkit_spark.functions import cells as CL
+    if CL.h3_available():
+        h3u = CL.h3_cell_udf(8)
+        bench("h3_index",
+              lambda: int(pts.select(h3u(F.col("lat"), F.col("lon"))
+                                     .alias("c"))
+                          .agg(F.count_distinct("c")).first()[0]),
+              units=n_pts)
+
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     kpts = cust.select(
         F.col("c_custkey").alias("id"),
@@ -236,11 +252,12 @@ def run_benchmarks(spark, sf_dir: str) -> dict[str, dict]:
     return results
 
 
-def run_once(cpus: str, sf_dir: str) -> dict:
+def run_once(cpus: str, sf_dir: str, big: bool | None = None,
+             trials: int | None = None) -> dict:
     from rasterkit_spark.session import get_spark
     spark = get_spark("rasterkit-bench", cores=cpus)
     t0 = time.time()
-    queries = run_benchmarks(spark, sf_dir)
+    queries = run_benchmarks(spark, sf_dir, big=big, trials=trials)
     total = time.time() - t0
     spark.stop()
     return dict(total=total, queries=queries)
@@ -271,7 +288,27 @@ def main() -> None:
         throughput={k: round(v["throughput"], 1)
                     for k, v in out["queries"].items()},
         cpus=int(cpus),
+        trials=int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")),
     )
+    # big-raster config (≥1024-px rasters, 256-px tiles — the COG-geometry
+    # regime where per-chunk decode dominates stage latency): one trial of
+    # the two pixel-bound queries, folded into the same parsed line
+    try:
+        big_out = run_once(cpus, sf_dir, big=True, trials=1)
+        line["big_raster"] = dict(
+            queries={k: round(v["sec"], 3)
+                     for k, v in big_out["queries"].items()},
+            throughput={k: round(v["throughput"], 1)
+                        for k, v in big_out["queries"].items()})
+    except Exception as exc:  # never lose the headline line to the addon
+        line["big_raster"] = dict(error=str(exc)[:200])
+    # latest two-parallelism scaling evidence (written by --scaling /
+    # --scaling-big; the north_rule's N→4N ≥0.8 criterion)
+    try:
+        with open("BENCH/scaling_summary.json") as f:
+            line["scaling"] = json.load(f)
+    except OSError:
+        pass
     print(json.dumps(line))
 
 
@@ -354,6 +391,20 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a" if big else "w") as f:
         f.write("\n".join(lines))
+    # machine-readable summary the headline bench folds into its JSON line
+    summ_path = "BENCH/scaling_summary.json"
+    try:
+        with open(summ_path) as f:
+            summ = json.load(f)
+    except OSError:
+        summ = {}
+    summ["big_raster" if big else "parity_corpus"] = dict(
+        cpus=[int(lo), int(hi)],
+        efficiency=round(total_eff, 3),
+        per_query={n: round(e, 3) for n, e in effs},
+        measured_unix=int(time.time()))
+    with open(summ_path, "w") as f:
+        json.dump(summ, f, indent=1)
     print(json.dumps(dict(metric="scaling_efficiency", value=round(total_eff, 3),
                           unit="ratio", queries={n: round(e, 3) for n, e in effs},
                           sf=sf)))

@@ -267,6 +267,17 @@ def s2_cell_udf(level: int):
 # H3 — gated on the optional wheel
 # ---------------------------------------------------------------------------
 
+def h3_available() -> bool:
+    """Feature-detect the ``h3`` wheel (absent in this sandbox).  The
+    bench harness uses this to exercise the true-H3 path automatically
+    the moment the wheel appears in an environment."""
+    try:
+        import h3  # type: ignore  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def h3_cell_udf(res: int):
     """pandas UDF (lat, lon) → H3 cell (long) at ``res`` if the ``h3`` wheel
     is importable; otherwise raises at construction with guidance to the

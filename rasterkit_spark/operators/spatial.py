@@ -486,7 +486,17 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
     shared cover cell; pairs whose polygons touch no pixel report
     zmin/zmax = −1, zsum/zcount = 0.  Fully disjoint (zone, raster)
     pairs are absent — at raster-catalog scale enumerating them is the
-    cartesian this version exists to avoid.
+    cartesian this version exists to avoid.  Callers who truly need the
+    disjoint pairs too (small catalogs, dense reports) enumerate them
+    explicitly and left-join this result::
+
+        all_pairs = zones.select("zone_id").crossJoin(
+            catalog.filter(F.col("media_kind") == "raster")
+                   .select("media_ref"))
+        full = all_pairs.join(zonal_stats(zones, catalog, tiles),
+                              ["zone_id", "media_ref"], "left") \\
+                        .fillna({"zmin": -1, "zmax": -1,
+                                 "zsum": 0, "zcount": 0})
     """
     from . import extract as EX
     z = zones.withColumn("_coords", wkt_coords_udf(F.col("polygon_wkt")))

@@ -217,3 +217,17 @@ def test_s2_face_centers():
     ids = C.s2_cell_id(lats, lons, 30).astype(np.uint64)
     faces = (ids >> np.uint64(61)).astype(int)
     assert list(faces) == [0, 1, 2, 3, 4, 5]
+
+
+def test_h3_feature_gate():
+    """h3_cell_udf is wheel-gated: raises with grid-index guidance when the
+    wheel is absent; produces real H3 longs when present (the bench
+    harness auto-exercises it via h3_available())."""
+    from rasterkit_spark.functions import cells as C
+    if C.h3_available():
+        udf = C.h3_cell_udf(8)
+        assert udf is not None
+    else:
+        import pytest as _pt
+        with _pt.raises(NotImplementedError, match="grid_cell"):
+            C.h3_cell_udf(8)
