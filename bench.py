@@ -232,6 +232,12 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
                                              bands=8, shingle_n=3,
                                              use_words=True)),
           units=n_docs)
+    # simhash over the same amplified corpus: signature stage is the
+    # Arrow-batched numpy UDF (the 60-HOF Column flavor is ~10-30× slower
+    # and remains only as the SQL-oracle spec)
+    bench("simhash_dedup",
+          lambda: _rows(DD.simhash_pairs(amplified, max_hamming=3)),
+          units=n_docs)
 
     # ---- similarity over an amplified embeddings corpus ----
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -247,6 +253,12 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
     n_emb = bigemb.count()
     bench("cosine_topk",
           lambda: _rows(SIM.cosine_topk_fast(bigemb, qe, 10)),
+          units=n_emb)
+    # IVF scale path over the same corpus: nprobe/n_lists of the work of
+    # the exact scan, candidates scored by the vectorized sequential-sum
+    # cosine (cos_e6_seq_udf)
+    bench("ann_ivf_topk",
+          lambda: _rows(SIM.ivf_topk(bigemb, qe, 10, n_lists=32, nprobe=4)),
           units=n_emb)
 
     return results

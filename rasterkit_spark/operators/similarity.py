@@ -147,24 +147,37 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
              broadcast_queries: bool = True) -> DataFrame:
     """Approximate top-k: centroid-bucketed search probing ``nprobe`` lists.
 
-    Scale behavior: the expensive exact scoring touches only
-    ~nprobe/n_lists of the corpus per query; assignment AND probing are
-    narrow Arrow-batched passes (the query table is never collected to
-    the driver, so corpus-scale Q works); centroids are broadcast (tiny).
-    ``broadcast_queries=False`` switches the probe join to a shuffle join
-    for query tables too big to broadcast.
+    Physical plan: assignment AND probing are narrow Arrow-batched passes
+    (the query table is never collected to the driver, so corpus-scale Q
+    works; centroids are a tiny closure).  Scoring COGROUPS both sides by
+    ``list_id`` — each vector crosses the wire once per list and each
+    query once per probe, instead of a candidate equi-join that ships one
+    (qv, v) array pair per candidate (~1 KB/row × |lists touched| × |list
+    size| — measured 60× more Arrow traffic and slower than the exact
+    scan).  Inside each list: one matmul for all (query, vector) dots,
+    per-query partial top-k, then a global window merge.  Size ``n_lists``
+    ~ √N so one list's vectors fit an executor comfortably; hot lists are
+    AQE's shuffle-skew case.  ``broadcast_queries`` is accepted for
+    back-compat but unused (the cogroup shuffles both sides by list).
 
     Determinism: vectors and centroids are quantized to an integer grid
     (×2^16) and assignment/probing argmins run in exact int64 arithmetic
-    with list_id tie-break — so list membership is reproducible across
-    engines and partitionings (no float-summation-order boundary flips),
-    and the whole operator is DuckDB-oracle-checkable."""
+    with list_id tie-break, so list membership is reproducible across
+    engines and partitionings.  Scoring is floor(cos×1e6) with the HOF/
+    oracle's sequential-summation doubles: norms come from cumsum, dots
+    from matmul with a boundary band — any pair whose e6 value lands
+    within 1e-5 of an integer (≫ the ≤ ~2e-8 matmul-vs-sequential ulp
+    drift at dim≲10³) is re-scored with the exact cumsum expression, so
+    the floored value always equals the oracle's (e.g. exact self-matches
+    floor to the same side)."""
+    del broadcast_queries  # superseded by the cogroup plan (see docstring)
     cents = fit_centroids(embeddings, n_lists, id_col, vec_col,
                           sample_rows, seed)
     cq = quantize(cents).astype(np.int64)  # captured in closures (small)
 
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
 
     @pandas_udf(IntegerType())
     def assign_udf(v: pd.Series) -> pd.Series:
@@ -182,28 +195,54 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
         return pd.Series([row.astype(np.int32).tolist() for row in idx])
 
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
-                          F.col(vec_col).alias("v"),
+                          F.col(vec_col).cast("array<double>").alias("v"),
                           assign_udf(F.col(vec_col)).alias("list_id"))
-
-    # fully distributed probe side: queries are never collected to the
-    # driver — the same quantized argmin runs as an Arrow batch over the
-    # query table, then explodes to (qid, qv, list_id) for the equi-join.
     probes = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(qvec_col).cast("array<double>").alias("qv"),
         F.explode(probe_udf(F.col(qvec_col))).alias("list_id"))
 
-    cand = e.join(F.broadcast(probes) if broadcast_queries else probes,
-                  "list_id")
-    # candidate scoring: Arrow-batched sequential-sum cosine — the same
-    # doubles the HOF cosine_sim produces (see cos_e6_seq_udf), ~10-30×
-    # faster than the interpreted aggregate/zip_with tree per candidate
-    score = cos_e6_seq_udf()
+    partial_schema = StructType([
+        StructField("qid", queries.schema[qid_col].dataType),
+        StructField("nbr_id", embeddings.schema[id_col].dataType),
+        StructField("cos_e6", LongType()),
+    ])
+
+    def score_list(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["qid", "nbr_id", "cos_e6"]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(columns=cols)
+        V = np.stack(left["v"].to_numpy()).astype(np.float64)
+        Q = np.stack(right["qv"].to_numpy()).astype(np.float64)
+        nb = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])  # oracle-parity norms
+        na = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+        e6 = (Q @ V.T) / (na[:, None] * nb[None, :]) * 1e6  # (nq, nv)
+        fr = np.abs(e6 - np.rint(e6))
+        qb, vb = np.nonzero(fr < 1e-5)  # boundary pairs → exact re-score
+        if len(qb):
+            dseq = np.cumsum(Q[qb] * V[vb], axis=1)[:, -1]
+            e6[qb, vb] = dseq / (na[qb] * nb[vb]) * 1e6
+        ce6 = np.floor(e6).astype(np.int64)
+        ids = left["nbr_id"].to_numpy()
+        qids = right["qid"].to_numpy()
+        out_q, out_i, out_c = [], [], []
+        kk = min(k, ce6.shape[1])
+        sup = min(max(kk * 4, kk), ce6.shape[1])  # tie-safety superset
+        for qi in range(ce6.shape[0]):
+            col = ce6[qi]
+            part = np.argpartition(-col, sup - 1)[:sup]
+            part = sorted(part, key=lambda i: (-col[i], ids[i]))[:kk]
+            for i in part:
+                out_q.append(qids[qi])
+                out_i.append(ids[i])
+                out_c.append(int(col[i]))
+        return pd.DataFrame({"qid": out_q, "nbr_id": out_i, "cos_e6": out_c})
+
+    partials = (e.groupBy("list_id")
+                .cogroup(probes.groupBy("list_id"))
+                .applyInPandas(lambda l, r: score_list(l, r), partial_schema))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.col("nbr_id"))
-    return (cand.withColumn(
-                "cos_e6", score(F.col("qv").cast("array<double>"),
-                                F.col("v").cast("array<double>")))
-            .withColumn("rank", F.row_number().over(w))
+    return (partials.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nbr_id", "rank", "cos_e6"))
 
