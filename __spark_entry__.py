@@ -563,7 +563,9 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("embeddings")
     q = e.filter("vec_id % 50 = 0").select(
         F.col("vec_id").alias("qid"), "embedding")
-    return SIM.cosine_topk(e, q, 5).select("qid", "nbr_id", "rank")
+    # matmul-speed exact scorer with oracle-parity cos_e6 (boundary pairs
+    # re-scored sequentially) — same rows as the HOF cosine_topk spec
+    return SIM.cosine_topk_exact(e, q, 5).select("qid", "nbr_id", "rank")
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,6 +8,7 @@ Reference → engine mapping (SURVEY.md §2.11):
 | analyze (37-67)               | :func:`analyze`                          |
 | extract (94-185)              | :func:`extract` (bbox= / coordinate=+radius=, crs=, shape=, filter=, colormap=) |
 | extract_to_array (355-371)    | :func:`extract_array` (fmt csv/json/npy) |
+| extract → output file (94-185) | :func:`extract_to_files` (executor-side GeoTIFF sink) |
 | convert_compression (246-258) | :func:`convert_compression`              |
 | extract_colormap (268-270)    | :func:`extract_colormap`                 |
 | extract_with_colormap (285-334)| ``extract(..., colormaps=...)``         |
@@ -75,6 +76,19 @@ def extract_array(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
                   fmt: str = "npy") -> DataFrame:
     """extract_to_array / array sinks K4-K6."""
     return sinks.render_windows(_ex.extract(queries, catalog, tiles), fmt)
+
+
+def extract_to_files(queries: DataFrame, catalog: DataFrame,
+                     tiles: DataFrame, out_dir: str) -> DataFrame:
+    """Extract + write each window as a GeoTIFF file executor-side (K1 at
+    scale — payloads never return to the driver; see
+    sinks.write_windows_geotiff).  Returns the (query_id, media_ref, path,
+    nbytes) receipts.  Geo tags come from the window's adjusted tiepoint
+    plus the catalog's pixel scale / EPSG."""
+    windows = _ex.extract(queries, catalog, tiles)
+    meta = catalog.select("media_ref", "pixel_sx", "pixel_sy", "epsg")
+    return sinks.write_windows_geotiff(
+        windows.join(F.broadcast(meta), "media_ref"), out_dir)
 
 
 def convert_compression(tiles: DataFrame, catalog: DataFrame,

@@ -174,16 +174,21 @@ def _decode_values(bo, ftype, count, data):
 def write_tiff(image: np.ndarray, extra_entries: list[Entry] | None = None,
                byte_order: str = "<") -> bytes:
     """K1/K2: classic-TIFF writer — header → sorted unique tags → external
-    data → pixels, 4-byte aligned, single uncompressed strip."""
-    h, w = image.shape
+    data → pixels, 4-byte aligned, single uncompressed strip.  ``image``
+    is (h, w) grayscale or (h, w, spp) interleaved (chunky) RGB."""
+    if image.ndim == 3:
+        h, w, spp = image.shape
+    else:
+        h, w = image.shape
+        spp = 1
     pixels = image.astype(np.uint8).tobytes()
     entries = [
         Entry(TAG_WIDTH, T_LONG, [w]),
         Entry(TAG_HEIGHT, T_LONG, [h]),
-        Entry(TAG_BITS_PER_SAMPLE, T_SHORT, [8]),
+        Entry(TAG_BITS_PER_SAMPLE, T_SHORT, [8] * spp),
         Entry(TAG_COMPRESSION, T_SHORT, [1]),
-        Entry(TAG_PHOTOMETRIC, T_SHORT, [1]),
-        Entry(TAG_SAMPLES_PER_PIXEL, T_SHORT, [1]),
+        Entry(TAG_PHOTOMETRIC, T_SHORT, [2 if spp == 3 else 1]),
+        Entry(TAG_SAMPLES_PER_PIXEL, T_SHORT, [spp]),
         Entry(TAG_ROWS_PER_STRIP, T_LONG, [h]),        # single strip
         Entry(TAG_STRIP_BYTE_COUNTS, T_LONG, [len(pixels)]),
         Entry(TAG_STRIP_OFFSETS, T_LONG, [0]),         # patched below

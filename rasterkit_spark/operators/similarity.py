@@ -100,6 +100,76 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
             .select("qid", "nbr_id", "rank", "cos_e6"))
 
 
+def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "qid",
+                      qvec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine at matmul speed WITH oracle-parity values —
+    returns the same (qid, nbr_id, rank, cos_e6) rows as :func:`cosine_topk`
+    bit-for-bit, unlike :func:`cosine_topk_fast` (which normalizes first
+    and may flip cos_e6 by one ulp near integer boundaries, and stringifies
+    ids).
+
+    Parity recipe (same as ivf_topk's scorer): norms via sequential cumsum,
+    dots via one matmul per partition batch against the broadcast query
+    matrix, and any pair whose e6 value lands within 1e-5 of an integer
+    (≫ matmul-vs-sequential ulp drift) re-scored with the exact sequential
+    expression the HOF/oracle computes.  Partial top-k per batch, global
+    window merge — O(Q·N) by contract (the exact baseline; ivf_topk is the
+    scale path)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..session import ensure_parallelism
+
+    q_rows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    na = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # oracle-parity norms
+
+    schema = StructType([
+        StructField("qid", queries.schema[qid_col].dataType),
+        StructField("nbr_id", embeddings.schema[id_col].dataType),
+        StructField("cos_e6", LongType()),
+    ])
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nb = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            e6 = (Q @ V.T) / (na[:, None] * nb[None, :]) * 1e6  # (nq, nv)
+            fr = np.abs(e6 - np.rint(e6))
+            qb, vb = np.nonzero(fr < 1e-5)  # boundary → exact re-score
+            if len(qb):
+                dseq = np.cumsum(Q[qb] * V[vb], axis=1)[:, -1]
+                e6[qb, vb] = dseq / (na[qb] * nb[vb]) * 1e6
+            ce6 = np.floor(e6).astype(np.int64)
+            ids = pdf["nbr_id"].to_numpy()
+            out_q, out_i, out_c = [], [], []
+            kk = min(k, ce6.shape[1])
+            sup = min(max(kk * 4, kk), ce6.shape[1])
+            for qi in range(ce6.shape[0]):
+                col = ce6[qi]
+                part = np.argpartition(-col, sup - 1)[:sup]
+                part = sorted(part, key=lambda i: (-col[i], ids[i]))[:kk]
+                for i in part:
+                    out_q.append(qids[qi])
+                    out_i.append(ids[i])
+                    out_c.append(int(col[i]))
+            yield pd.DataFrame(
+                {"qid": out_q, "nbr_id": out_i, "cos_e6": out_c})
+
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    partials = e.mapInPandas(gen, schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_e6"), F.col("nbr_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nbr_id", "rank", "cos_e6"))
+
+
 def _kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 5,
                 seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)

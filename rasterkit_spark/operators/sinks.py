@@ -13,7 +13,8 @@ import json
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
 
 
 # ---------------------------------------------------------------------------
@@ -104,3 +105,70 @@ def render_windows(windows: DataFrame, fmt: str) -> DataFrame:
                                               _SINK_SCHEMA.fields])
 
     return windows.mapInPandas(gen, _SINK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# K1 at scale — executor-side GeoTIFF window file sink
+# ---------------------------------------------------------------------------
+
+WINDOW_FILE_SCHEMA = StructType([
+    StructField("query_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("path", StringType()),
+    StructField("nbytes", LongType()),
+])
+
+
+def write_windows_geotiff(windows: DataFrame, out_dir: str) -> DataFrame:
+    """Write each clipped window as a GeoTIFF file FROM THE TASK THAT HOLDS
+    IT (K1 at corpus scale): window payloads never travel to the driver —
+    the driver only sees (query_id, media_ref, path, nbytes) receipts.
+    ``out_dir`` must be executor-visible (shared FS / fuse mount; plain
+    local path in local mode).
+
+    Geo metadata rides along when the frame carries it: pixel scale (S9),
+    the adjusted tiepoint from ``new_origin_x/y`` (G9), and the GeoKey
+    directory from ``epsg`` (S8).  RGB windows (samples_per_pixel=3) write
+    interleaved 3-sample TIFFs."""
+    import os
+
+    from ..io import tiffcodec as TC
+
+    cols = set(windows.columns)
+    has_scale = "pixel_sx" in cols and "pixel_sy" in cols
+    has_origin = "new_origin_x" in cols and "new_origin_y" in cols
+    has_epsg = "epsg" in cols
+
+    def gen(it):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples():
+                w, h = int(row.region_w), int(row.region_h)
+                spp = int(getattr(row, "samples_per_pixel", 1) or 1)
+                arr = np.frombuffer(bytes(row.window), dtype=np.uint8)
+                arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+                extra = []
+                if has_scale:
+                    extra.append(TC.Entry(TC.TAG_PIXEL_SCALE, TC.T_DOUBLE,
+                                          [float(row.pixel_sx),
+                                           float(row.pixel_sy), 0.0]))
+                if has_origin:
+                    extra.append(TC.Entry(TC.TAG_TIEPOINT, TC.T_DOUBLE,
+                                          [0.0, 0.0, 0.0,
+                                           float(row.new_origin_x),
+                                           float(row.new_origin_y), 0.0]))
+                if has_epsg and row.epsg is not None:
+                    extra.extend(TC.geokey_entries(int(row.epsg)))
+                buf = TC.write_tiff(arr, extra)
+                name = f"{row.query_id}__{row.media_ref}.tif"
+                path = os.path.join(out_dir, name)
+                with open(path, "wb") as f:
+                    f.write(buf)
+                out.append((str(row.query_id), str(row.media_ref),
+                            path, len(buf)))
+            if out:
+                yield pd.DataFrame(out, columns=[
+                    "query_id", "media_ref", "path", "nbytes"])
+
+    return windows.mapInPandas(gen, WINDOW_FILE_SCHEMA)

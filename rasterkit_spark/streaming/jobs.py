@@ -110,3 +110,20 @@ def incremental_extract(docs_stream: DataFrame, catalog: DataFrame,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True))
+
+
+def dedup_doc_stream(docs_stream: DataFrame, watermark: str = "10 minutes",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     time_col: str = "event_time") -> DataFrame:
+    """Streaming exact dedup for a continuous document feed: content-keyed
+    ``dropDuplicatesWithinWatermark`` — a doc whose md5(text) was already
+    seen within the watermark horizon is dropped; state is bounded by the
+    horizon (the engine evicts keys older than the watermark), so the job
+    runs indefinitely at ingest scale.  The batch analog is
+    operators/dedup.exact_dedup; this is the front-door filter a
+    10¹²-doc pipeline runs before anything expensive touches a duplicate."""
+    return (docs_stream
+            .withColumn("text_md5", F.md5(F.col(text_col)))
+            .withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_md5"])
+            .select(id_col, time_col, "text_md5", text_col))

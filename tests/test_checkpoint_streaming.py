@@ -153,3 +153,29 @@ def test_running_type_stats_stateful(spark, tmp_path):
         assert int(final.loc[etype, "n_total"]) == n, etype
         assert abs(float(final.loc[etype, "sum_total"]) - float(s)) < 1e-6
     assert not final["closed"].any()  # no idle timeouts in this run
+
+
+def test_dedup_doc_stream(spark, tmp_path):
+    """Content-keyed streaming dedup: duplicates within the watermark
+    horizon collapse to one emitted row per distinct text."""
+    from rasterkit_spark.streaming.jobs import dedup_doc_stream
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "event_time": pd.to_datetime([
+            "2026-01-01 00:00:01", "2026-01-01 00:00:02",
+            "2026-01-01 00:00:03", "2026-01-01 00:00:04",
+            "2026-01-01 00:00:05"]),
+        "text": ["alpha", "beta", "alpha", "gamma", "beta"]})
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = dedup_doc_stream(stream, watermark="10 minutes")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("streamdedup")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from streamdedup").toPandas()
+    assert len(got) == 3                        # alpha, beta, gamma once
+    assert set(got.text) == {"alpha", "beta", "gamma"}

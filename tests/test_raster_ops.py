@@ -143,3 +143,57 @@ def test_apply_filter_transparency_matches_kernel(spark, corpus, windows):
         exp = K.filter_values_transparency(win, 40, 200)
         assert got.loc[qid, "rgba_sha256"] == \
             hashlib.sha256(exp.tobytes()).hexdigest(), qid
+
+
+def test_write_windows_geotiff_executor_side(spark, tmp_path):
+    """K1 at scale: clipped windows written as GeoTIFF files by the task
+    that holds them; geo tags (pixel scale, adjusted tiepoint, geokeys)
+    round-trip through the codec.  RGB windows write 3-sample TIFFs."""
+    import numpy as np
+    import pandas as pd
+
+    from rasterkit_spark.io import tiffcodec as TC
+    from rasterkit_spark.operators import sinks as SK
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (8, 11), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    rows = [
+        dict(query_id="q1", media_ref="m1", region_w=11, region_h=8,
+             samples_per_pixel=1, window=bytearray(g.tobytes()),
+             new_origin_x=100.5, new_origin_y=200.5,
+             pixel_sx=0.25, pixel_sy=0.25, epsg=3857),
+        dict(query_id="q2", media_ref="m2", region_w=7, region_h=6,
+             samples_per_pixel=3, window=bytearray(rgb.tobytes()),
+             new_origin_x=-10.0, new_origin_y=20.0,
+             pixel_sx=1.0, pixel_sy=1.0, epsg=4326),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out_dir = str(tmp_path / "tifs")
+    receipts = SK.write_windows_geotiff(df, out_dir).toPandas() \
+        .set_index("query_id")
+    assert len(receipts) == 2
+
+    buf = open(receipts.loc["q1", "path"], "rb").read()
+    ifds, _, _ = TC.read_tiff(buf)
+    ifd = ifds[0]
+    assert (ifd.get(TC.TAG_WIDTH), ifd.get(TC.TAG_HEIGHT)) == (11, 8)
+    scale = ifd.entries[TC.TAG_PIXEL_SCALE].values
+    assert scale[:2] == [0.25, 0.25]
+    tie = ifd.entries[TC.TAG_TIEPOINT].values
+    assert tie[3:5] == [100.5, 200.5]
+    assert TC.epsg_from_geo_keys(TC.parse_geo_key_directory(ifd)) == 3857
+    off = ifd.entries[TC.TAG_STRIP_OFFSETS].values[0]
+    cnt = ifd.entries[TC.TAG_STRIP_BYTE_COUNTS].values[0]
+    np.testing.assert_array_equal(
+        np.frombuffer(buf[off:off+cnt], np.uint8).reshape(8, 11), g)
+
+    buf2 = open(receipts.loc["q2", "path"], "rb").read()
+    ifd2 = TC.read_tiff(buf2)[0][0]
+    assert ifd2.get(TC.TAG_SAMPLES_PER_PIXEL) == 3
+    assert ifd2.get(TC.TAG_PHOTOMETRIC) == 2
+    off2 = ifd2.entries[TC.TAG_STRIP_OFFSETS].values[0]
+    cnt2 = ifd2.entries[TC.TAG_STRIP_BYTE_COUNTS].values[0]
+    np.testing.assert_array_equal(
+        np.frombuffer(buf2[off2:off2+cnt2], np.uint8).reshape(6, 7, 3), rgb)
+    assert TC.epsg_from_geo_keys(TC.parse_geo_key_directory(ifd2)) == 4326

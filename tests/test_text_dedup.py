@@ -331,3 +331,21 @@ def test_knn_join_rejects_out_of_frame(spark):
     # containing frame still works
     out = SP.knn_join(pts, qs, 2, frame=(0.0, 3.0, 0.0, 1.0)).toPandas()
     assert set(out.nbr_id) == {"b", "a"} or len(out) == 2
+
+
+def test_cosine_topk_exact_matches_hof_bitwise(spark, embeddings):
+    """cosine_topk_exact must reproduce the HOF cosine_topk rows exactly —
+    same cos_e6 (boundary re-score), same tie-breaks, same id dtypes —
+    including the self-match rows where matmul could floor 1e6 down."""
+    e = embeddings
+    q = e.limit(6).selectExpr("vec_id as qid", "embedding")
+    slow = SIM.cosine_topk(e, q, 5).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    fast = SIM.cosine_topk_exact(e, q, 5).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(slow, fast, check_dtype=False)
+    # self-matches rank 1 with cos_e6 exactly 1e6
+    self_rows = fast[(fast.qid == fast.nbr_id)]
+    assert len(self_rows) == 6
+    assert (self_rows.cos_e6 == 1_000_000).all()
+    assert (self_rows["rank"] == 1).all()
