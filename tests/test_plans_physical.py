@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the plan properties the 100-TB design
+depends on, asserted so a refactor can't silently lose them.
+
+- broadcast joins stay broadcast (no surprise shuffle of the big side)
+- no CartesianProduct anywhere in the hot paths (the zonal fallback is
+  the one documented broadcast nested loop, bounded by unplaceable-CRS
+  rasters)
+- parquet scans receive pushed filters + pruned column lists
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rasterkit_spark.fixtures import corpus as CP
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return CP.build_corpus(n_media=6, n_docs=20, n_queries=6)
+
+
+@pytest.fixture(scope="module")
+def sdfs(spark, corpus):
+    return corpus.to_spark(spark)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_plan_broadcasts_keys_no_cartesian(spark, sdfs):
+    from rasterkit_spark.operators import extract as EX
+    df = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                    sdfs["tiles"])
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan      # catalog + key joins broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zonal_plan_no_cartesian_on_placeable_rasters(spark, sdfs):
+    from rasterkit_spark.operators import spatial as SP
+    df = SP.zonal_stats(sdfs["zones"], sdfs["media_catalog"], sdfs["tiles"])
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the documented unplaceable-CRS
+    # fallback, and every occurrence must be the *broadcast* flavor with a
+    # bounded small side (the subtree can appear twice: the regions branch
+    # feeds both the partials and the all-pairs left join)
+    assert plan.count("NestedLoopJoin") == plan.count("BroadcastNestedLoopJoin")
+
+
+def test_pip_join_plan_broadcasts_polygons(spark):
+    from rasterkit_spark.operators import spatial as SP
+    pts = spark.createDataFrame(pd.DataFrame({
+        "id": list(range(100)),
+        "lon": list(np.linspace(-10, 10, 100)),
+        "lat": list(np.linspace(-5, 5, 100))}))
+    polys = spark.createDataFrame(pd.DataFrame({
+        "zone_id": ["z0"],
+        "polygon_wkt": ["POLYGON((-1 -1, 1 -1, 1 1, -1 1, -1 -1))"]}))
+    df = SP.pip_join(pts, polys, "id", "lon", "lat", "zone_id",
+                     "polygon_wkt", res=7)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [" in plan and "l_quantity" in \
+        plan.split("PushedFilters:")[1][:200]          # filter reaches scan
+    rs = plan.split("ReadSchema:")[1][:200]
+    assert "l_orderkey" in rs and "l_comment" not in rs  # columns pruned
+
+
+def test_ivf_plan_no_pairwise_candidate_join(spark):
+    """The IVF scorer must stay the cogroup shape (FlatMapCoGroups...) —
+    no per-candidate equi-join that would ship one array pair per
+    candidate."""
+    from rasterkit_spark.operators import similarity as SIM
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({
+        "vec_id": list(range(300)),
+        "embedding": [rng.normal(size=16).tolist() for _ in range(300)]})
+    e = spark.createDataFrame(pdf)
+    q = e.limit(5).selectExpr("vec_id as qid", "embedding")
+    df = SIM.ivf_topk(e, q, 3, n_lists=4, nprobe=2)
+    plan = plan_of(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
