@@ -736,6 +736,93 @@ def _rgb_minmax_oracle_sql() -> str:
       AS t(query_id, media_ref, vmin, vmax)"""
 
 
+def _q_doc_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 driver gate: interleaved input_hint docs → posexplode(spans) →
+    media-ref join → tile extraction (operators/extract.extract_for_docs),
+    one row per (doc_id, span position, query) clipped window."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import extract as EX
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    sdfs = c.to_spark(spark, ["docs", "queries_bbox", "media_catalog",
+                              "tiles"])
+    out = EX.extract_for_docs(sdfs["docs"], sdfs["media_catalog"],
+                              sdfs["tiles"], sdfs["queries_bbox"])
+    return out.select("doc_id", "pos", "media_ref", "query_id",
+                      "window_sha256")
+
+
+def _doc_media_spans_oracle_sql() -> str:
+    """VALUES-literal oracle: pandas span explosion of the deterministic
+    docs fixture inner-joined with the pure-numpy window oracle
+    (fixtures/oracle.expected_all_bbox) on media_ref."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.fixtures import oracle as OR
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    exp = OR.expected_all_bbox(c)
+    by_ref = {ref: grp for ref, grp in exp.groupby("media_ref")}
+    rows = []
+    for d in c.docs.itertuples():
+        for pos, sp in enumerate(d.spans):
+            if sp["kind"] != "media" or sp["media_ref"] not in by_ref:
+                continue
+            for r in by_ref[sp["media_ref"]].itertuples():
+                rows.append((d.doc_id, pos, sp["media_ref"], r.query_id,
+                             r.window_sha256))
+    vals = ",\n      ".join(
+        f"('{a}', {p}, '{m}', '{q}', '{h}')" for a, p, m, q, h in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(doc_id, pos, media_ref, query_id, window_sha256)"""
+
+
+def _q_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant, driver-gated: span-sequence equality
+    (kind, text, media_ref, order) survives the distributed
+    explode → shuffle → reassemble round trip.  The repartition between
+    posexplode and the groupBy forces a real exchange so order
+    preservation is by-construction (array_sort on pos), not an accident
+    of partition locality."""
+    from pyspark.sql import functions as F
+    from rasterkit_spark.fixtures import corpus as CP
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    docs = c.to_spark(spark, ["docs"])["docs"]
+    ex = (docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+              .repartition(8, "pos"))
+    seq = ex.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("pos"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset")))).alias("sp"))
+    return seq.select(
+        "doc_id",
+        F.sha2(F.concat_ws(";", F.transform(
+            "sp",
+            lambda s: F.concat_ws(
+                "|", s.kind, s.text, s.media_ref,
+                s.offset.cast("string")))), 256).alias("seq_sha"))
+
+
+def _span_seq_oracle_sql() -> str:
+    """VALUES oracle: the same per-doc sequence digest computed directly
+    from the deterministic fixture rows (no explode) in pandas."""
+    import hashlib
+    from rasterkit_spark.fixtures import corpus as CP
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    rows = []
+    for d in c.docs.itertuples():
+        s = ";".join(
+            "|".join([sp["kind"], sp["text"], sp["media_ref"],
+                      str(sp["offset"])])
+            for sp in d.spans)
+        rows.append((d.doc_id,
+                     hashlib.sha256(s.encode("utf-8")).hexdigest()))
+    vals = ",\n      ".join(f"('{a}', '{h}')" for a, h in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals}) AS t(doc_id, seq_sha)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(body) for name, body in PORTABLE_SQL.items()}
@@ -755,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dups"] = _q_embedding_dups  # rows-only
     q["ann_ivf_topk"] = _q_ann_ivf           # rows-only (approximate)
     q["extract_windows"] = _q_extract_fixture
+    q["doc_media_spans"] = _q_doc_media_spans
+    q["span_seq_roundtrip"] = _q_span_seq
     q["zonal_stats_raster"] = _q_zonal_raster
     q["rgb_minmax"] = _q_rgb_minmax
     q["extract_lod"] = _q_extract_lod
@@ -1065,6 +1154,8 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["extract_windows"] = _extract_oracle_sql()
+    o["doc_media_spans"] = _doc_media_spans_oracle_sql()
+    o["span_seq_roundtrip"] = _span_seq_oracle_sql()
     o["zonal_stats_raster"] = _zonal_raster_oracle_sql()
     o["rgb_minmax"] = _rgb_minmax_oracle_sql()
     o["extract_lod"] = _extract_lod_oracle_sql()
