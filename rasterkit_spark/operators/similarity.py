@@ -43,6 +43,25 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             .select("qid", "nbr_id", "rank", "cos_e6"))
 
 
+def _topk_ids(col: np.ndarray, ids: np.ndarray, kk: int) -> list:
+    """Exact per-batch top-k index selection under (value desc, id asc).
+
+    argpartition finds the kk-th value, then EVERY index tied at that
+    threshold joins the candidate set before the final (value, id) sort —
+    a fixed-size superset (the previous kk*4 heuristic) can exclude a
+    lower-id tie when more than its size share the boundary value, which
+    would diverge from the oracle's ROW_NUMBER (ORDER BY val DESC, id)."""
+    n = len(col)
+    kk = min(kk, n)
+    if kk == n:
+        idx = range(n)
+    else:
+        part = np.argpartition(-col, kk - 1)[:kk]
+        thresh = col[part].min()
+        idx = np.nonzero(col >= thresh)[0]
+    return sorted(idx, key=lambda i: (-col[i], ids[i]))[:kk]
+
+
 def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "qid",
@@ -55,8 +74,7 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
     query matrix, partial top-k per batch, exact global top-k merge.
     ~10-50× the HOF flavor, which Spark evaluates interpreted.
     """
-    from pyspark.sql.types import (LongType, StringType, StructField,
-                                   StructType)
+    from pyspark.sql.types import LongType, StructField, StructType
 
     from ..session import ensure_parallelism
 
@@ -65,9 +83,11 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
+    # real id dtypes: stringified ids would tie-break "10" < "2" in the
+    # global window merge and diverge from cosine_topk's (id asc) order
     schema = StructType([
-        StructField("qid", StringType()),
-        StructField("nbr_id", StringType()),
+        StructField("qid", queries.schema[qid_col].dataType),
+        StructField("nbr_id", embeddings.schema[id_col].dataType),
         StructField("cos_e6", LongType()),
     ])
 
@@ -81,14 +101,11 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
             ids = pdf["nbr_id"].to_numpy()
             rows = []
             kk = min(k, S.shape[0])
-            sup = min(max(kk * 4, kk), S.shape[0])  # tie-safety superset
             for qi in range(S.shape[1]):
                 col = S[:, qi]
-                # top-k by (cos desc, id asc) over a 4k superset
-                part = np.argpartition(-col, sup - 1)[:sup]
-                part = sorted(part, key=lambda i: (-col[i], ids[i]))[:kk]
-                for i in part:
-                    rows.append((str(qids[qi]), str(ids[i]), int(col[i])))
+                # exact top-k by (cos desc, id asc), tie-complete
+                for i in _topk_ids(col, ids, kk):
+                    rows.append((qids[qi], ids[i], int(col[i])))
             yield pd.DataFrame(rows, columns=["qid", "nbr_id", "cos_e6"])
 
     e = ensure_parallelism(embeddings).select(
@@ -107,8 +124,7 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
     """Exact top-k by cosine at matmul speed WITH oracle-parity values —
     returns the same (qid, nbr_id, rank, cos_e6) rows as :func:`cosine_topk`
     bit-for-bit, unlike :func:`cosine_topk_fast` (which normalizes first
-    and may flip cos_e6 by one ulp near integer boundaries, and stringifies
-    ids).
+    and may flip cos_e6 by one ulp near integer boundaries).
 
     Parity recipe (same as ivf_topk's scorer): norms via sequential cumsum,
     dots via one matmul per partition batch against the broadcast query
@@ -148,12 +164,9 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
             ids = pdf["nbr_id"].to_numpy()
             out_q, out_i, out_c = [], [], []
             kk = min(k, ce6.shape[1])
-            sup = min(max(kk * 4, kk), ce6.shape[1])
             for qi in range(ce6.shape[0]):
                 col = ce6[qi]
-                part = np.argpartition(-col, sup - 1)[:sup]
-                part = sorted(part, key=lambda i: (-col[i], ids[i]))[:kk]
-                for i in part:
+                for i in _topk_ids(col, ids, kk):
                     out_q.append(qids[qi])
                     out_i.append(ids[i])
                     out_c.append(int(col[i]))
@@ -297,12 +310,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
         qids = right["qid"].to_numpy()
         out_q, out_i, out_c = [], [], []
         kk = min(k, ce6.shape[1])
-        sup = min(max(kk * 4, kk), ce6.shape[1])  # tie-safety superset
         for qi in range(ce6.shape[0]):
             col = ce6[qi]
-            part = np.argpartition(-col, sup - 1)[:sup]
-            part = sorted(part, key=lambda i: (-col[i], ids[i]))[:kk]
-            for i in part:
+            for i in _topk_ids(col, ids, kk):
                 out_q.append(qids[qi])
                 out_i.append(ids[i])
                 out_c.append(int(col[i]))

@@ -349,3 +349,29 @@ def test_cosine_topk_exact_matches_hof_bitwise(spark, embeddings):
     assert len(self_rows) == 6
     assert (self_rows.cos_e6 == 1_000_000).all()
     assert (self_rows["rank"] == 1).all()
+
+
+def test_topk_tie_storm_matches_hof(spark):
+    """Adversarial mass-tie case: 64 identical vectors (all cos_e6 tie at
+    1e6) plus a few distinct ones, k=3.  The per-batch partial top-k must
+    keep the LOWEST ids among the tied candidates — a bounded superset
+    from argpartition can admit arbitrary tie members and diverge from the
+    HOF/oracle ROW_NUMBER (ORDER BY cos_e6 DESC, nbr_id) order."""
+    rows = [{"vec_id": i, "embedding": [1.0, 2.0, 3.0]} for i in range(64)]
+    rows += [{"vec_id": 100 + i, "embedding": [1.0, 2.0, 3.0 + i]}
+             for i in range(1, 4)]
+    e = spark.createDataFrame(pd.DataFrame(rows)).repartition(4)
+    q = spark.createDataFrame(pd.DataFrame(
+        [{"qid": 0, "embedding": [1.0, 2.0, 3.0]}]))
+    want = SIM.cosine_topk(e, q, 3).toPandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert want.nbr_id.tolist() == [0, 1, 2]
+    for fn in (SIM.cosine_topk_exact,
+               lambda *a, **k: SIM.ivf_topk(*a, n_lists=2, nprobe=2,
+                                            sample_rows=64, **k)):
+        got = fn(e, q, 3).toPandas().sort_values("rank") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(want, got, check_dtype=False)
+    fast = SIM.cosine_topk_fast(e, q, 3).toPandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert fast.nbr_id.astype(int).tolist() == [0, 1, 2]
