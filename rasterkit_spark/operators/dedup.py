@@ -177,6 +177,9 @@ def shingle_set_udf(shingle_n: int, use_words: bool):
     def _udf(text):
         out = []
         for t in text:
+            if t is None:  # match shingles(NULL) -> NULL (explode drops it)
+                out.append(None)
+                continue
             if use_words:
                 words = t.strip().split(" ")
                 n_sh = max(len(words) - shingle_n + 1, 1)
@@ -214,6 +217,9 @@ def minhash_sig_udf(n_hashes: int, shingle_n: int, use_words: bool):
     def _udf(text):
         out = []
         for t in text:
+            if t is None:  # NULL text -> NULL signature (no bands emitted)
+                out.append(None)
+                continue
             if use_words:
                 words = t.strip().split(" ")  # match F.split(trim, " ")
                 n_sh = max(len(words) - shingle_n + 1, 1)
@@ -244,6 +250,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     :func:`ngram_jaccard_pairs` semantics, so precision is exact; recall is
     1−(1−s^r)^b (≈1 for near-dups at these defaults)."""
     from ..session import ensure_parallelism
+    if bands < 1 or n_hashes % bands != 0:
+        # rows=0 would make every band signature the empty string and the
+        # bucket self-join all-pairs (the quadratic blowup LSH exists to
+        # avoid); a non-divisible split would silently ignore trailing
+        # hashes and degrade recall below the documented 1-(1-s^r)^b
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must divide n_hashes="
+            f"{n_hashes} with rows >= 1")
     docs = ensure_parallelism(docs)
     rows = n_hashes // bands
     # Arrow-batched numpy signatures (see minhash_sig_udf for why not HOFs)
@@ -341,6 +355,10 @@ def simhash64_udf():
     def _udf(text):
         out = np.zeros(len(text), dtype=np.int64)
         for i, t in enumerate(text):
+            if t is None:
+                continue  # NULL → sig 0, same as the Column flavor
+                # (aggregate over a NULL array is NULL; every
+                #  when(NULL>0).otherwise(0) term contributes 0)
             toks = [w for w in t.strip().split(" ") if w]
             if not toks:
                 continue  # empty → all votes 0 → sig 0 (matches Column)
@@ -429,13 +447,22 @@ def cos_e6_seq_udf():
     @pandas_udf(LongType())
     def _udf(a, b):
         if len(a) == 0:
-            return pd.Series([], dtype=np.int64)
+            return pd.Series([], dtype="Int64")
         A = np.stack(a.to_numpy()).astype(np.float64)
         B = np.stack(b.to_numpy()).astype(np.float64)
         dot = np.cumsum(A * B, axis=1)[:, -1]
         na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
         nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        return pd.Series(np.floor(dot / (na * nb) * 1e6).astype(np.int64))
+        # zero-norm vectors: cosine is undefined — emit NULL instead of
+        # np.floor(NaN).astype(int64), whose result is platform garbage
+        # (typically INT64_MIN) silently posing as a score
+        denom = na * nb
+        ok = denom > 0
+        vals = np.floor(
+            dot / np.where(ok, denom, 1.0) * 1e6).astype(np.int64)
+        res = pd.Series(vals, dtype="Int64")
+        res[~ok] = pd.NA
+        return res
 
     return _udf
 

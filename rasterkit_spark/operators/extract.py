@@ -248,8 +248,23 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
       non-scaling term when queries ≫ catalog).  Keys are repartitioned
       by query (tiny rows), the broadcast join is narrow, and assembly
       streams map-side over the sorted partition.
+
+    ``level`` selects an overview: regions resolve against the LEVEL's
+    geotransform/dims/chunk geometry (half-size per level), matching a
+    direct read of that overview IFD — resolving against the base level
+    and only stamping the key would put level-0 pixel regions onto the
+    half-size grid, silently extracting the wrong window.  A raster whose
+    pyramid is shallower than ``level`` joins zero tiles and is absent
+    from the output (use :func:`extract_auto_level` for per-query levels
+    with deepest-available fallback).
     """
-    regions = resolve_regions(queries, catalog)
+    if level > 0:
+        cat = catalog_at_levels(catalog, level) \
+            .filter(F.col("level") == level)
+        q = queries.join(F.broadcast(cat), "media_ref", "inner")
+        regions = _resolve_regions_joined(q, "radius_m" in queries.columns)
+    else:
+        regions = resolve_regions(queries, catalog)
     keys = expand_tile_keys(regions, level=level)
     if broadcast_tiles:
         t = tiles.select("media_ref", "level", "tile_x", "tile_y", "blob")
@@ -352,12 +367,13 @@ def extract_pixel_region(queries: DataFrame, catalog: DataFrame,
     are rejected too (the reference's Region fields are u32 — the type
     system enforces what we must check).
     """
-    spp = (F.col("samples_per_pixel") if "samples_per_pixel"
-           in catalog.columns else F.lit(1)).alias("samples_per_pixel")
-    cat = catalog.filter(F.col("media_kind") == "raster").select(
-        "media_ref", "width", "height", "tile_w", "tile_h", "rows_per_strip",
-        "epsg", "pixel_sx", "pixel_sy", "origin_x", "origin_y",
-        "compression", "predictor", spp, *normalized_chunk_cols())
+    if level > 0:
+        # regions are in the overview's pixel grid — validate and clip
+        # against the LEVEL dims/chunks (see extract() docstring)
+        cat = catalog_at_levels(catalog, level) \
+            .filter(F.col("level") == level)
+    else:
+        cat = _catalog_select(catalog)
     q = queries.join(F.broadcast(cat), "media_ref", "inner")
     bad = ((F.col("region_x") < 0) | (F.col("region_y") < 0) |
            (F.col("region_x") + F.col("region_w") > F.col("width")) |

@@ -202,12 +202,21 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
                     continue
                 if _HAVE_PIL:
                     import io
-                    img = Image.open(io.BytesIO(blob)).resize((target_w, target_h))
-                    out = io.BytesIO()
-                    img.save(out, format="PNG")
-                    rows.append((r.media_ref, target_w, target_h,
-                                 bytearray(out.getvalue())))
-                    continue
+                    try:
+                        img = Image.open(io.BytesIO(blob)) \
+                            .resize((target_w, target_h))
+                        out = io.BytesIO()
+                        img.save(out, format="PNG")
+                        rows.append((r.media_ref, target_w, target_h,
+                                     bytearray(out.getvalue())))
+                        continue
+                    except Exception:
+                        # undecodable blob (fake-header fixture, corrupt
+                        # file): strict surfaces it, otherwise fall through
+                        # to the fake repack like decode_image_meta does,
+                        # instead of failing the whole stage
+                        if strict:
+                            raise
                 if strict:
                     raise NotImplementedError(
                         "image resize requires PIL (absent); strict=False "

@@ -32,10 +32,28 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 from .. import kernels as K
 
 
+def window_2d(row) -> np.ndarray:
+    """Window bytes → 2-D grayscale array, samples_per_pixel-aware.
+
+    RGB (spp=3) windows collapse to luma8 — the reference grayscales
+    before every single-band post-op (api.rs:322 ``to_luma``); a plain
+    reshape(h, w) on a 3·h·w buffer would just crash.  Other spp raise."""
+    h, w = int(row.region_h), int(row.region_w)
+    spp = int(getattr(row, "samples_per_pixel", 1) or 1)
+    buf = np.frombuffer(bytes(row.window), dtype=np.uint8)
+    if spp == 1:
+        return buf.reshape(h, w)
+    if spp == 3:
+        return K.rgb_to_luma8(buf.reshape(h, w, 3))
+    raise ValueError(
+        f"unsupported samples_per_pixel={spp} (expected 1 or 3)")
+
+
 def _map_windows(df: DataFrame, fn, extra_fields=()) -> DataFrame:
     """mapInPandas over window rows: fn(np2d, row) → (np2d_out, extras)."""
     fields = [f for f in df.schema.fields]
     out_schema = StructType(fields + list(extra_fields))
+    has_spp = "samples_per_pixel" in df.columns
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -43,13 +61,13 @@ def _map_windows(df: DataFrame, fn, extra_fields=()) -> DataFrame:
                 continue
             new_windows, extras = [], []
             for row in pdf.itertuples():
-                arr = np.frombuffer(bytes(row.window), dtype=np.uint8) \
-                    .reshape(int(row.region_h), int(row.region_w))
-                out, ex = fn(arr, row)
+                out, ex = fn(window_2d(row), row)
                 new_windows.append(bytearray(out.tobytes()))
                 extras.append(ex)
             pdf = pdf.copy()
             pdf["window"] = new_windows
+            if has_spp:  # RGB inputs were luma-collapsed above
+                pdf["samples_per_pixel"] = 1
             for i, f_ in enumerate(extra_fields):
                 pdf[f_.name] = [e[i] for e in extras]
             yield pdf
@@ -170,9 +188,7 @@ def apply_filter_transparency(windows: DataFrame, lo: int, hi: int) -> DataFrame
                 continue
             rgba_col, sha_col = [], []
             for row in pdf.itertuples():
-                arr = np.frombuffer(bytes(row.window), dtype=np.uint8) \
-                    .reshape(int(row.region_h), int(row.region_w))
-                rgba = K.filter_values_transparency(arr, lo, hi)
+                rgba = K.filter_values_transparency(window_2d(row), lo, hi)
                 buf = rgba.tobytes()
                 rgba_col.append(bytearray(buf))
                 sha_col.append(hashlib.sha256(buf).hexdigest())
@@ -197,9 +213,7 @@ def apply_circle_mask(windows: DataFrame) -> DataFrame:
                 continue
             rgba_col, sha_col = [], []
             for row in pdf.itertuples():
-                arr = np.frombuffer(bytes(row.window), dtype=np.uint8) \
-                    .reshape(int(row.region_h), int(row.region_w))
-                rgba = K.apply_circle_mask_rgba(arr)
+                rgba = K.apply_circle_mask_rgba(window_2d(row))
                 buf = rgba.tobytes()
                 rgba_col.append(bytearray(buf))
                 sha_col.append(hashlib.sha256(buf).hexdigest())

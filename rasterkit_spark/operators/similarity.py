@@ -81,7 +81,11 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
     q_rows = queries.select(qid_col, qvec_col).collect()
     qids = [r[0] for r in q_rows]
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    if (qn == 0).any():
+        raise ValueError("cosine_topk_fast: zero-norm query vector — "
+                         "cosine similarity is undefined for it")
+    Qn = Q / qn
 
     # real id dtypes: stringified ids would tie-break "10" < "2" in the
     # global window merge and diverge from cosine_topk's (id asc) order
@@ -96,9 +100,14 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
             if len(pdf) == 0:
                 continue
             E = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            S = np.floor(En @ Qn.T * 1e6).astype(np.int64)  # (b, qn)
             ids = pdf["nbr_id"].to_numpy()
+            en = np.linalg.norm(E, axis=1)
+            if (en == 0).any():  # undefined cosine → excluded from top-k
+                E, ids, en = E[en > 0], ids[en > 0], en[en > 0]
+                if len(E) == 0:
+                    continue
+            En = E / en[:, None]
+            S = np.floor(En @ Qn.T * 1e6).astype(np.int64)  # (b, qn)
             rows = []
             kk = min(k, S.shape[0])
             for qi in range(S.shape[1]):
@@ -141,6 +150,9 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     na = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # oracle-parity norms
+    if (na == 0).any():
+        raise ValueError("cosine_topk_exact: zero-norm query vector — "
+                         "cosine similarity is undefined for it")
 
     schema = StructType([
         StructField("qid", queries.schema[qid_col].dataType),
@@ -153,7 +165,12 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            ids = pdf["nbr_id"].to_numpy()
             nb = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            if (nb == 0).any():  # undefined cosine → excluded from top-k
+                V, ids, nb = V[nb > 0], ids[nb > 0], nb[nb > 0]
+                if len(V) == 0:
+                    continue
             e6 = (Q @ V.T) / (na[:, None] * nb[None, :]) * 1e6  # (nq, nv)
             fr = np.abs(e6 - np.rint(e6))
             qb, vb = np.nonzero(fr < 1e-5)  # boundary → exact re-score
@@ -161,7 +178,6 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
                 dseq = np.cumsum(Q[qb] * V[vb], axis=1)[:, -1]
                 e6[qb, vb] = dseq / (na[qb] * nb[vb]) * 1e6
             ce6 = np.floor(e6).astype(np.int64)
-            ids = pdf["nbr_id"].to_numpy()
             out_q, out_i, out_c = [], [], []
             kk = min(k, ce6.shape[1])
             for qi in range(ce6.shape[0]):
@@ -297,8 +313,16 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             return pd.DataFrame(columns=cols)
         V = np.stack(left["v"].to_numpy()).astype(np.float64)
         Q = np.stack(right["qv"].to_numpy()).astype(np.float64)
+        ids = left["nbr_id"].to_numpy()
         nb = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])  # oracle-parity norms
         na = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+        if (na == 0).any():
+            raise ValueError("ivf_topk: zero-norm query vector — cosine "
+                             "similarity is undefined for it")
+        if (nb == 0).any():  # undefined cosine → excluded from top-k
+            V, ids, nb = V[nb > 0], ids[nb > 0], nb[nb > 0]
+            if len(V) == 0:
+                return pd.DataFrame(columns=cols)
         e6 = (Q @ V.T) / (na[:, None] * nb[None, :]) * 1e6  # (nq, nv)
         fr = np.abs(e6 - np.rint(e6))
         qb, vb = np.nonzero(fr < 1e-5)  # boundary pairs → exact re-score
@@ -306,7 +330,6 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             dseq = np.cumsum(Q[qb] * V[vb], axis=1)[:, -1]
             e6[qb, vb] = dseq / (na[qb] * nb[vb]) * 1e6
         ce6 = np.floor(e6).astype(np.int64)
-        ids = left["nbr_id"].to_numpy()
         qids = right["qid"].to_numpy()
         out_q, out_i, out_c = [], [], []
         kk = min(k, ce6.shape[1])
@@ -328,12 +351,15 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
 
 
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
-    """Mean fraction of exact top-k recovered by the approximate result."""
+    """Mean fraction of exact top-k recovered by the approximate result.
+
+    The denominator is the number of EXACT rows, not n_queries × k — on a
+    corpus smaller than k a perfect approximate result must score 1.0,
+    not |corpus|/k."""
     ex = exact.filter(F.col("rank") <= k).select("qid", "nbr_id")
     ap = approx.filter(F.col("rank") <= k).select("qid", "nbr_id")
-    hits = ex.join(ap, ["qid", "nbr_id"]).groupBy("qid").count()
-    n_q = ex.select("qid").distinct().count()
-    if n_q == 0:
+    n_exact = ex.count()
+    if n_exact == 0:
         return 1.0
-    total_hits = hits.agg(F.sum("count")).collect()[0][0] or 0
-    return float(total_hits) / (n_q * k)
+    total_hits = ex.join(ap, ["qid", "nbr_id"]).count()
+    return float(total_hits) / n_exact

@@ -84,7 +84,11 @@ _SINK_SCHEMA = StructType([
 
 
 def render_windows(windows: DataFrame, fmt: str) -> DataFrame:
-    """fmt ∈ {csv, json, npy}; one payload per window row."""
+    """fmt ∈ {csv, json, npy}; one payload per window row.  RGB windows
+    collapse to luma first — the reference's array strategies emit one
+    value per pixel (src/extractor/array_strategy.rs:99-127); see
+    raster_ops.window_2d."""
+    from .raster_ops import window_2d
     if fmt not in ("csv", "json", "npy"):
         raise ValueError(f"Unknown array format '{fmt}' (csv|json|npy)")
 
@@ -92,8 +96,7 @@ def render_windows(windows: DataFrame, fmt: str) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
-                win = np.frombuffer(bytes(r.window), dtype=np.uint8) \
-                    .reshape(int(r.region_h), int(r.region_w))
+                win = window_2d(r)
                 if fmt == "csv":
                     payload = window_to_csv(win).encode()
                 elif fmt == "json":

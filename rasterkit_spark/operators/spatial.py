@@ -33,6 +33,11 @@ from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, LongType,
 from .. import kernels as K
 from ..functions import cells as C
 
+#: every published WebMercator code (functions/geo.classify_epsg agrees)
+MERC_EPSGS = (3857, 3785, 900913)
+#: CRSs the zonal PIP stage can place against 4326 polygons
+_ZONAL_PLACEABLE = MERC_EPSGS + (4326,)
+
 
 # ---------------------------------------------------------------------------
 # WKT (tiny, polygon-side only — never on the point/doc side)
@@ -297,7 +302,12 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     density = max(n_points / float(n * n), 1e-12)
     ring = max(1, min(n, int(_math.ceil(
         2.0 * _math.sqrt(k / (_math.pi * density))))))
-    for _ in range(max_rounds):
+    for round_i in range(max_rounds):
+        # exactness guarantee: the last budgeted round always scans the
+        # full frame — exhausting max_rounds used to silently DROP every
+        # still-uncertified query from an "exact" join result
+        if round_i == max_rounds - 1:
+            ring = n
         side = 2 * ring + 1
         offs = F.sequence(F.lit(0), F.lit(side * side - 1))
         cand_cells = F.transform(
@@ -411,11 +421,21 @@ def _zonal_tile_partials(pdf_iter):
             cols = ox + (gx0 + np.arange(gx1 - gx0) + 0.5) * psx
             rows_ = oy - (gy0 + np.arange(gy1 - gy0) + 0.5) * psy
             gx, gy = np.meshgrid(cols, rows_)
-            # polygon is in 4326: convert centers if the raster is 3857
-            if int(row.epsg) == 3857:
+            # polygon is in 4326: convert centers if the raster is
+            # Mercator (any published alias); raw lon/lat only for 4326.
+            # Anything else reaching this stage would compare meter
+            # coordinates against degree polygons (all-outside, silently
+            # wrong stats) — zonal_stats screens those out up front, so
+            # this is a belt-and-braces guard.
+            if int(row.epsg) in MERC_EPSGS:
                 lon, lat = K.webmercator_to_wgs84(gx.ravel(), gy.ravel())
-            else:
+            elif int(row.epsg) == 4326:
                 lon, lat = gx.ravel(), gy.ravel()
+            else:
+                raise ValueError(
+                    f"zonal_stats: raster {row.media_ref} has CRS "
+                    f"EPSG:{int(row.epsg)}, which the 4326-polygon PIP "
+                    f"stage cannot place (expected WebMercator or 4326)")
             inside = K.points_in_polygon(
                 lon, lat, np.asarray(row.poly_xs), np.asarray(row.poly_ys)
             ).reshape(sub.shape)
@@ -450,22 +470,19 @@ def zonal_footprint_pairs(zq: DataFrame, catalog: DataFrame,
         *geo.bounds_cols(F.col("origin_x"), F.col("origin_y"),
                          F.col("width"), F.col("height"),
                          F.col("pixel_sx"), F.col("pixel_sy")))
-    placeable = rb.filter(F.col("epsg").isin(3857, 4326))
-    mx0 = F.when(F.col("epsg") == 3857, F.col("minx")) \
-        .otherwise(geo.merc_x(F.col("minx")))
-    mx1 = F.when(F.col("epsg") == 3857, F.col("maxx")) \
-        .otherwise(geo.merc_x(F.col("maxx")))
-    my0 = F.when(F.col("epsg") == 3857, F.col("miny")) \
-        .otherwise(geo.merc_y(F.col("miny")))
-    my1 = F.when(F.col("epsg") == 3857, F.col("maxy")) \
-        .otherwise(geo.merc_y(F.col("maxy")))
+    is_merc = F.col("epsg").isin(*MERC_EPSGS)
+    placeable = rb.filter(F.col("epsg").isin(*_ZONAL_PLACEABLE))
+    mx0 = F.when(is_merc, F.col("minx")).otherwise(geo.merc_x(F.col("minx")))
+    mx1 = F.when(is_merc, F.col("maxx")).otherwise(geo.merc_x(F.col("maxx")))
+    my0 = F.when(is_merc, F.col("miny")).otherwise(geo.merc_y(F.col("miny")))
+    my1 = F.when(is_merc, F.col("maxy")).otherwise(geo.merc_y(F.col("maxy")))
     rc = placeable.select(
         "media_ref",
         F.explode(C.grid_cells_for_bbox(mx0, my0, mx1, my1, res))
         .alias("cell"))
     pairs = (zc.join(rc, "cell")
              .select("query_id", "media_ref").distinct())
-    unplaceable = rb.filter(~F.col("epsg").isin(3857, 4326)) \
+    unplaceable = rb.filter(~F.col("epsg").isin(*_ZONAL_PLACEABLE)) \
         .select("media_ref")
     fallback = zq.select("query_id").crossJoin(F.broadcast(unplaceable))
     return pairs.unionByName(fallback)
@@ -474,8 +491,17 @@ def zonal_footprint_pairs(zq: DataFrame, catalog: DataFrame,
 def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
                 cover_res: int = 6,
                 broadcast_keys: bool = True,
-                balance: bool = False) -> DataFrame:
+                balance: bool = False,
+                on_unplaceable: str = "error") -> DataFrame:
     """min/max/sum/count of raster values per (zone polygon, raster).
+
+    ``on_unplaceable``: rasters whose CRS is neither WebMercator (any
+    alias) nor 4326 cannot be compared against the 4326 zone polygons —
+    ``"error"`` (default) raises up front naming offenders (one tiny
+    catalog-only action); ``"skip"`` silently excludes them.  Before this
+    screen they were conservatively paired with every zone and the PIP
+    stage compared meter coordinates against degree polygons — all-outside,
+    silently-empty stats.
 
     Pipeline: zone bbox (from WKT) → footprint-overlap pre-join (cell
     cover equi-join — never zone × raster cartesian) → region on each
@@ -499,6 +525,23 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
                                  "zsum": 0, "zcount": 0})
     """
     from . import extract as EX
+    bad = (catalog.filter(F.col("media_kind") == "raster")
+           .filter(~F.col("epsg").isin(*_ZONAL_PLACEABLE)))
+    if on_unplaceable == "error":
+        offenders = [r.media_ref
+                     for r in bad.select("media_ref").limit(3).collect()]
+        if offenders:
+            raise ValueError(
+                "zonal_stats: catalog contains rasters whose CRS the "
+                f"4326-polygon PIP stage cannot place (e.g. {offenders}); "
+                "reproject them or pass on_unplaceable='skip'")
+    elif on_unplaceable == "skip":
+        catalog = catalog.filter(
+            (F.col("media_kind") != "raster")
+            | F.col("epsg").isin(*_ZONAL_PLACEABLE))
+    else:
+        raise ValueError(
+            f"on_unplaceable must be 'error' or 'skip', got {on_unplaceable!r}")
     z = zones.withColumn("_coords", wkt_coords_udf(F.col("polygon_wkt")))
     zq = z.select(
         F.col("zone_id").alias("query_id"),

@@ -349,3 +349,31 @@ def test_extract_auto_level_shallow_pyramid_falls_back(spark):
         sc["pixel_sy"] = sc.pixel_sy * 2
         exp = OR.expected_window(c, r, sc, level=1)
         assert got.window_sha256 == exp["sha256"], r.query_id
+
+
+def test_extract_explicit_level_matches_oracle(spark, corpus, sdfs):
+    """extract(level=1) must resolve regions against the LEVEL-1
+    geotransform/dims (it used to resolve at level 0 and only stamp the
+    key — level-0 pixel regions joined onto the half-size level-1 grid,
+    silently producing wrong windows)."""
+    out = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                     sdfs["tiles"], level=1).toPandas() \
+        .set_index("query_id")
+    assert len(out) > 0
+    cat = corpus.media_catalog.set_index("media_ref", drop=False)
+    checked = 0
+    for r in corpus.queries_bbox.itertuples():
+        if r.query_id not in out.index:
+            continue  # pyramid shallower than level 1 (documented drop)
+        c = cat.loc[r.media_ref]
+        sc = c.copy()
+        sc["width"] = int(c.width) >> 1
+        sc["height"] = int(c.height) >> 1
+        sc["pixel_sx"] = c.pixel_sx * 2
+        sc["pixel_sy"] = c.pixel_sy * 2
+        exp = OR.expected_window(corpus, r, sc, level=1)
+        got = out.loc[r.query_id]
+        assert got.window_sha256 == exp["sha256"], r.query_id
+        assert got.new_origin_x == exp["new_origin_x"], r.query_id
+        checked += 1
+    assert checked > 0

@@ -197,3 +197,31 @@ def test_write_windows_geotiff_executor_side(spark, tmp_path):
     np.testing.assert_array_equal(
         np.frombuffer(buf2[off2:off2+cnt2], np.uint8).reshape(6, 7, 3), rgb)
     assert TC.epsg_from_geo_keys(TC.parse_geo_key_directory(ifd2)) == 4326
+
+
+def test_single_band_post_ops_luma_collapse_rgb(spark):
+    """apply_filter / transparency / circle mask / render_windows on RGB
+    windows must luma-collapse (the reference grayscales before every
+    single-band post-op) — a plain reshape(h, w) on the 3-sample buffer
+    used to crash the stage."""
+    import numpy as np
+    from rasterkit_spark import kernels as K
+    from rasterkit_spark.operators import raster_ops as RO
+    from rasterkit_spark.operators import sinks as SK
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import extract as EX
+    c = CP.build_corpus(n_media=8, n_docs=10, n_queries=10, rgb_every=3)
+    sd = c.to_spark(spark, ["queries_bbox", "media_catalog", "tiles"])
+    w = EX.extract(sd["queries_bbox"], sd["media_catalog"], sd["tiles"])
+    assert w.filter("samples_per_pixel = 3").count() > 0
+    filt = RO.apply_filter(w, 10, 200).toPandas()
+    assert (filt.samples_per_pixel == 1).all()
+    RO.apply_filter_transparency(w, 10, 200).toPandas()
+    RO.apply_circle_mask(w).toPandas()
+    rendered = SK.render_windows(w, "npy").toPandas()
+    assert len(rendered) == len(filt)
+    # parity: filter(RGB window) == filter(luma(RGB window))
+    luma_first = RO.apply_filter(RO.to_luma_op(w), 10, 200).toPandas()
+    a = filt.set_index(["query_id", "media_ref"]).filtered_sha256
+    b = luma_first.set_index(["query_id", "media_ref"]).filtered_sha256
+    assert a.sort_index().equals(b.sort_index())

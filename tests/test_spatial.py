@@ -180,3 +180,51 @@ def test_zonal_stats_rgb_rasters_match_oracle(spark):
         c.media_catalog.samples_per_pixel == 3].media_ref)
     assert (want[want.media_ref.isin(rgb_refs)].zcount > 0).any()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_knn_max_rounds_exhaustion_still_exact(spark, points_pdf):
+    """max_rounds=1 forces the single budgeted round to scan the full
+    frame: every query must come back exact — uncertified queries used to
+    be silently DROPPED when the round budget ran out."""
+    queries = pd.DataFrame({
+        "qid": [f"q{i}" for i in range(8)],
+        "lon": np.r_[RNG.uniform(-170, 170, 4), [179.9, -179.9, 0.0, 10.0]],
+        "lat": np.r_[RNG.uniform(-80, 80, 4), [-89.9, 89.9, 0.0, 20.0]],
+    })
+    got = SP.knn_join(spark.createDataFrame(points_pdf),
+                      spark.createDataFrame(queries), 3,
+                      point_id="id", query_id="qid",
+                      x_col="lon", y_col="lat", res=6,
+                      max_rounds=1).toPandas()
+    assert set(got.qid) == set(queries.qid)
+    px, py = points_pdf.lon.values, points_pdf.lat.values
+    ids = np.array(points_pdf.id.values)
+    for r in queries.itertuples():
+        d = np.sqrt((px - r.lon) ** 2 + (py - r.lat) ** 2)
+        order = sorted(range(len(d)), key=lambda j: (d[j], ids[j]))[:3]
+        sub = got[got.qid == r.qid].sort_values("rank")
+        assert list(sub.nbr_id) == [ids[j] for j in order], r.qid
+
+
+def test_zonal_stats_rejects_unplaceable_crs(spark):
+    """A raster CRS the 4326-polygon PIP stage cannot place must raise up
+    front (default) or be excluded (on_unplaceable='skip') — it used to be
+    conservatively paired with every zone and silently report empty stats
+    (meter pixel centers PIP-tested against degree polygons)."""
+    c = CP.build_corpus(n_media=4, n_docs=10, n_queries=6)
+    sd = c.to_spark(spark, ["zones", "media_catalog", "tiles"])
+    bad_ref = c.media_catalog[c.media_catalog.media_kind == "raster"] \
+        .media_ref.iloc[0]
+    bad_cat = sd["media_catalog"].withColumn(
+        "epsg", F.when(F.col("media_ref") == bad_ref, F.lit(32633))
+                 .otherwise(F.col("epsg")))
+    with pytest.raises(ValueError, match="cannot place"):
+        SP.zonal_stats(sd["zones"], bad_cat, sd["tiles"])
+    out = SP.zonal_stats(sd["zones"], bad_cat, sd["tiles"],
+                         on_unplaceable="skip").toPandas()
+    assert bad_ref not in set(out.media_ref)
+    # Mercator aliases are placeable, not unplaceable
+    alias_cat = sd["media_catalog"].withColumn(
+        "epsg", F.when(F.col("epsg") == 3857, F.lit(3785))
+                 .otherwise(F.col("epsg")))
+    SP.zonal_stats(sd["zones"], alias_cat, sd["tiles"])  # must not raise

@@ -375,3 +375,58 @@ def test_topk_tie_storm_matches_hof(spark):
     fast = SIM.cosine_topk_fast(e, q, 3).toPandas() \
         .sort_values("rank").reset_index(drop=True)
     assert fast.nbr_id.astype(int).tolist() == [0, 1, 2]
+
+
+def test_dedup_udfs_tolerate_null_text(spark):
+    """NULL text rows must flow through minhash/simhash/jaccard like their
+    Column-flavor specs (NULL shingles → row drops out; simhash sig 0) —
+    the Arrow UDFs used to crash the stage on t.strip() of None."""
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta"},
+            {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "alpha beta gamma delta"}]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    mh = DD.minhash_lsh_pairs(docs, 0.8, n_hashes=16, bands=8).toPandas()
+    assert set(zip(mh.id_a, mh.id_b)) == {(1, 3)}
+    sh = DD.simhash_pairs(docs, max_hamming=3).toPandas()
+    assert (1, 3) in set(zip(sh.id_a, sh.id_b))
+    jc = DD.ngram_jaccard_pairs(docs, 0.8).toPandas()
+    assert set(zip(jc.id_a, jc.id_b)) == {(1, 3)}
+
+
+def test_minhash_bands_validation(spark):
+    docs = spark.createDataFrame(pd.DataFrame(
+        [{"doc_id": 1, "text": "a b c"}]))
+    with pytest.raises(ValueError, match="must divide"):
+        DD.minhash_lsh_pairs(docs, 0.8, n_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="must divide"):
+        DD.minhash_lsh_pairs(docs, 0.8, n_hashes=32, bands=10)
+
+
+def test_zero_norm_vectors_handled(spark):
+    """Zero-norm embeddings: cos_e6_seq_udf emits NULL (not int garbage),
+    the matmul top-k flavors exclude the vector, and a zero-norm QUERY is
+    a loud error."""
+    rows = [{"vec_id": 0, "embedding": [0.0, 0.0, 0.0]},
+            {"vec_id": 1, "embedding": [1.0, 2.0, 2.0]},
+            {"vec_id": 2, "embedding": [2.0, 4.0, 4.0]},
+            {"vec_id": 3, "embedding": [1.0, 0.0, 0.0]}]
+    e = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = e.selectExpr("vec_id as id_a", "embedding as v_a").crossJoin(
+        e.selectExpr("vec_id as id_b", "embedding as v_b"))
+    scored = pairs.withColumn(
+        "cos_e6", DD.cos_e6_seq_udf()(F.col("v_a").cast("array<double>"),
+                                      F.col("v_b").cast("array<double>"))
+    ).toPandas()
+    zero_rows = scored[(scored.id_a == 0) | (scored.id_b == 0)]
+    assert zero_rows.cos_e6.isna().all()
+    assert scored[(scored.id_a == 1) & (scored.id_b == 2)
+                  ].cos_e6.iloc[0] == 1_000_000
+    q = spark.createDataFrame(pd.DataFrame(
+        [{"qid": 9, "embedding": [1.0, 2.0, 2.0]}]))
+    got = SIM.cosine_topk_exact(e, q, 4).toPandas()
+    assert 0 not in set(got.nbr_id)          # excluded, not garbage-ranked
+    assert len(got) == 3
+    zq = spark.createDataFrame(pd.DataFrame(
+        [{"qid": 8, "embedding": [0.0, 0.0, 0.0]}]))
+    with pytest.raises(Exception, match="zero-norm"):
+        SIM.cosine_topk_exact(e, zq, 2)
