@@ -40,6 +40,32 @@ def _rows(df) -> int:
     return df.count()
 
 
+def _burn_unit(_i: int) -> int:
+    """One fixed pure-Python work unit (~1s on an uncontended core)."""
+    return sum(j * j for j in range(12_000_000))
+
+
+def cpu_calibration(lo: int, hi: int, units: int = 16) -> dict:
+    """The host's process-scaling ceiling RIGHT NOW: throughput of a fixed
+    pure-CPU workload at ``lo`` vs ``hi`` worker processes.  On this
+    co-tenant sandbox the effective core count varies by the hour (steal
+    up to ~60%), so an engine efficiency read in isolation is
+    uninterpretable — ``ceiling`` is the efficiency a PERFECTLY scaling
+    program would measure at the same moment, and the engine's number
+    should be compared against it, not against 1.0."""
+    import multiprocessing as mp
+
+    def thr(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn_unit, range(units))
+            return units / (time.time() - t0)
+
+    thr_lo, thr_hi = thr(lo), thr(hi)
+    return dict(burn_thr_lo=round(thr_lo, 2), burn_thr_hi=round(thr_hi, 2),
+                ceiling=round((thr_hi / thr_lo) / (hi / lo), 3))
+
+
 def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
                    trials: int | None = None) -> dict[str, dict]:
     import numpy as np
@@ -392,6 +418,7 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
             f"{speedup:.2f}x | {eff:.2f} |")
     tot8, tot32 = runs[lo]["total"], runs[hi]["total"]
     total_eff = (tot8 / tot32) / 4.0
+    calib = cpu_calibration(int(lo), int(hi))
     lines += ["",
               f"**Total wall: local[{lo}] {tot8:.1f}s, local[{hi}] {tot32:.1f}s — "
               f"overall speedup {tot8 / tot32:.2f}x, efficiency "
@@ -399,6 +426,13 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
               "local-mode caveat: a single JVM under-reports scaling vs "
               "true executors because the driver, GC and Python workers "
               "share the same cores).",
+              "",
+              f"**Machine ceiling at measurement time: {calib['ceiling']:.2f}** — "
+              f"a pure-CPU burn at {lo} vs {hi} processes reached "
+              f"{calib['burn_thr_lo']:.1f} → {calib['burn_thr_hi']:.1f} units/s "
+              f"(efficiency a PERFECTLY scaling program would read on this "
+              f"co-tenant host right now); compare the engine's number "
+              f"against this ceiling, not against 1.0.",
               ""]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a" if big else "w") as f:
@@ -414,6 +448,7 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
         cpus=[int(lo), int(hi)],
         efficiency=round(total_eff, 3),
         per_query={n: round(e, 3) for n, e in effs},
+        machine_ceiling=calib["ceiling"],
         measured_unix=int(time.time()))
     with open(summ_path, "w") as f:
         json.dump(summ, f, indent=1)

@@ -126,7 +126,12 @@ def grid_cells_for_bbox(minx: Column, miny: Column, maxx: Column,
     nx = ix1 - ix0 + 1
     ny = iy1 - iy0 + 1
     base = F.lit(res).cast("long") * F.lit(1 << GRID_RES_BITS)
-    offsets = F.sequence(F.lit(0), nx * ny - 1)
+    # inverted bbox (minx > maxx after clamping) → EMPTY cover, not a
+    # descending sequence(0, negative) whose negative offsets would mint
+    # out-of-grid cell ids that silently join nothing
+    offsets = F.when((nx > 0) & (ny > 0),
+                     F.sequence(F.lit(0), nx * ny - 1)) \
+        .otherwise(F.expr("array()").cast("array<bigint>"))
     return F.transform(
         offsets,
         lambda o: base + (ix0 + (o / ny).cast("long")) * F.lit(1 << GRID_IX_SHIFT)

@@ -176,7 +176,11 @@ def region_wgs84_on_mercator(minx: Column, miny: Column,
     w = F.least(F.greatest(max_x_px - min_x_px, F.lit(1)), iw - x)
     h = F.least(F.greatest(max_y_px - min_y_px, F.lit(1)), ih - y)
 
-    size = F.when(radius_m.isNull(), F.lit(1000).cast("long")) \
+    # NaN radius counts as absent, like the numpy twin (a bare CAST(NaN
+    # AS BIGINT) would yield 0 — a degenerate region — where the kernel
+    # returns the documented 1000-px fallback)
+    size = F.when(radius_m.isNull() | F.isnan(radius_m),
+                  F.lit(1000).cast("long")) \
             .otherwise((radius_m * 2 / F.abs(pixel_w)).cast("long"))
     # integer semantics: center and half-size use integer division
     # (image_extraction_utils.rs:298,304-305,309-314)

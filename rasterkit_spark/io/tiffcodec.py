@@ -405,8 +405,18 @@ def catalog_row_from_tiff(buf: bytes) -> dict:
         samples_per_pixel=ifd.get(TAG_SAMPLES_PER_PIXEL, 1),
         pixel_sx=float(scale.values[0]) if scale else 0.0,
         pixel_sy=float(scale.values[1]) if scale else 0.0,
-        origin_x=float(tie.values[3]) if tie else 0.0,
-        origin_y=float(tie.values[4]) if tie else 0.0,
+        # origin through the G8 geotransform (kernels.geotransform_from
+        # _tags): a ModelTiepoint may anchor a non-(0,0) raster pixel
+        # (values [0]/[1]), so taking [3]/[4] raw would shift the origin
+        # by tie_i·pw / tie_j·scale_y
+        origin_x=(float(tie.values[3])
+                  - float(tie.values[0])
+                  * (float(scale.values[0]) if scale else 0.0))
+        if tie else 0.0,
+        origin_y=(float(tie.values[4])
+                  + float(tie.values[1])
+                  * (float(scale.values[1]) if scale else 0.0))
+        if tie else 0.0,
         epsg=epsg_from_geo_keys(keys),
         nodata=ifd.get(TAG_GDAL_NODATA, ""),
     )

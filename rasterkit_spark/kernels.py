@@ -524,9 +524,21 @@ def undo_horizontal_predictor(data: np.ndarray, width: int, height: int,
     """
     if samples > 1:
         buf = np.frombuffer(bytes(data), dtype=np.uint8).copy()
-        rows = buf.shape[0] // (width * samples)
-        head = buf[: rows * width * samples].reshape(rows, width, samples)
+        total_row = width * samples
+        n = buf.shape[0]
+        usable = min(n, width * height * samples)
+        rows = usable // total_row
+        head = buf[: rows * total_row].reshape(rows, width, samples)
         np.cumsum(head, axis=1, dtype=np.uint8, out=head)
+        # partial last row: same per-channel running add (the samples==1
+        # branch has always done this; the stride flavor used to leave the
+        # tail as raw deltas)
+        tail_start = rows * total_row
+        tail_px = (usable - tail_start) // samples
+        if tail_px > 0:
+            tail = buf[tail_start: tail_start + tail_px * samples] \
+                .reshape(tail_px, samples)
+            np.cumsum(tail, axis=0, dtype=np.uint8, out=tail)
         return buf
     buf = np.frombuffer(bytes(data), dtype=np.uint8).copy()
     n = buf.shape[0]
@@ -581,15 +593,33 @@ def clip_chunk_into(out: np.ndarray,
     gy0 = max(chunk_y0, ry)
     gx1 = min(chunk_x0 + chunk_w, rx + rw)
     gy1 = min(chunk_y0 + avail_rows, ry + rh)
-    if gx1 <= gx0 or gy1 <= gy0:
-        return
-    if samples > 1:
-        src = chunk[: avail_rows * row_bytes].reshape(avail_rows, chunk_w,
-                                                      samples)
-    else:
-        src = chunk[: avail_rows * chunk_w].reshape(avail_rows, chunk_w)
-    out[gy0 - ry: gy1 - ry, gx0 - rx: gx1 - rx] = \
-        src[gy0 - chunk_y0: gy1 - chunk_y0, gx0 - chunk_x0: gx1 - chunk_x0]
+    if gx1 > gx0 and gy1 > gy0:
+        if samples > 1:
+            src = chunk[: avail_rows * row_bytes].reshape(
+                avail_rows, chunk_w, samples)
+        else:
+            src = chunk[: avail_rows * chunk_w].reshape(avail_rows, chunk_w)
+        out[gy0 - ry: gy1 - ry, gx0 - rx: gx1 - rx] = \
+            src[gy0 - chunk_y0: gy1 - chunk_y0,
+                gx0 - chunk_x0: gx1 - chunk_x0]
+    # partial final row of a short buffer: the reference's copy_pixel
+    # skips only pixels with data_idx >= data.len(), so the pixels that
+    # ARE present in the last (incomplete) row still copy — whole-row
+    # granularity alone would drop them
+    rem_px = (chunk.shape[0] - avail_rows * row_bytes) // samples
+    py = chunk_y0 + avail_rows
+    if rem_px > 0 and avail_rows < chunk_h and ry <= py < ry + rh:
+        px0 = max(chunk_x0, rx)
+        px1 = min(chunk_x0 + min(rem_px, chunk_w), rx + rw)
+        if px1 > px0:
+            rowbuf = chunk[avail_rows * row_bytes:
+                           avail_rows * row_bytes + rem_px * samples]
+            if samples > 1:
+                rowsrc = rowbuf.reshape(rem_px, samples)
+            else:
+                rowsrc = rowbuf
+            out[py - ry, px0 - rx: px1 - rx] = \
+                rowsrc[px0 - chunk_x0: px1 - chunk_x0]
 
 
 def decode_chunk(blob: bytes, compression: int, predictor: int,
@@ -788,13 +818,15 @@ def box_reduce_2x2(window: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def rgb_to_luma8(rgb: np.ndarray) -> np.ndarray:
-    """RGB→luma the way the Rust ``image`` crate's ``to_luma8`` does it:
-    round(0.2126·R + 0.7152·G + 0.0722·B) (ITU-R BT.709 coefficients used by
-    image::color; pinned here for fixture parity with src/api.rs:322).
-    """
-    w = np.asarray(rgb, dtype=np.float32)
-    luma = w[..., 0] * 0.2126 + w[..., 1] * 0.7152 + w[..., 2] * 0.0722
-    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    """RGB→luma the way the Rust ``image`` crate's ``to_luma8`` does it
+    for u8 pixels: INTEGER arithmetic with truncating division,
+    (2126·R + 7152·G + 722·B) // 10000 (image::color's SRGB_LUMA table;
+    pinned for byte parity with src/api.rs:322 under image = "0.25.5").
+    A float round() here would be off by one on any pixel whose weighted
+    sum mod 10000 ≥ 5000 — e.g. (3,0,0): crate gives 0, round gives 1."""
+    w = np.asarray(rgb, dtype=np.uint32)
+    luma = (w[..., 0] * 2126 + w[..., 1] * 7152 + w[..., 2] * 722) // 10000
+    return luma.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -86,8 +86,11 @@ class ResumableJob:
         return self.spark.read.parquet(self.metrics_dir)
 
 
-def bucket_partitions(df: DataFrame, key: str, n_buckets: int) -> list[str]:
-    """Logical partition ids as hash buckets of a key column."""
+def bucket_partitions(n_buckets: int) -> list[str]:
+    """Logical partition ids for :func:`bucket_filter`'s hash buckets —
+    the id space is just range(n_buckets) (deliberately data-independent:
+    deriving it from the data would cost a scan and change the resume key
+    set when the input grows)."""
     return [str(b) for b in range(n_buckets)]
 
 

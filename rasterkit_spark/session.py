@@ -45,9 +45,13 @@ def get_spark(app_name: str = "rasterkit-spark",
         # for narrow numeric UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("RASTERKIT_ARROW_BATCH", "1024"))
+        # NB: parenthesize the default — the old one-liner parsed as
+        # (explicit or derived) if isdigit else 64, silently discarding an
+        # explicit shuffle_partitions whenever cores wasn't a digit string
         .config("spark.sql.shuffle.partitions",
-                str(shuffle_partitions or int(str(cores)) * 2
-                    if str(cores).isdigit() else 64))
+                str(shuffle_partitions if shuffle_partitions is not None
+                    else (int(str(cores)) * 2 if str(cores).isdigit()
+                          else 64)))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
@@ -55,8 +59,15 @@ def get_spark(app_name: str = "rasterkit-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
-    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get(
-            "MASTER", ""):
+    # master resolution: an explicit env master always wins; under
+    # spark-submit --master the launcher already carries spark.master, so
+    # stamping local[] would silently force single-node; only with neither
+    # does the local[] fallback apply.  (The old condition was inverted:
+    # MASTER=local[2] crashed with no master set, MASTER=yarn got local[].)
+    env_master = os.environ.get("SPARK_MASTER") or os.environ.get("MASTER")
+    if env_master:
+        builder = builder.master(env_master)
+    elif "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
         builder = builder.master(f"local[{cores}]")
     return builder.getOrCreate()
 

@@ -96,15 +96,23 @@ def incremental_extract(docs_stream: DataFrame, catalog: DataFrame,
                         tiles: DataFrame, queries: DataFrame,
                         sink_path: str, checkpoint_path: str):
     """Stream of input_hint docs → per-micro-batch batch extraction →
-    parquet sink.  Exactly-once via the streaming checkpoint; the batch
-    operators are reused unchanged inside foreachBatch."""
+    parquet sink.  Exactly-once END-TO-END: the streaming checkpoint makes
+    the SOURCE exactly-once, but foreachBatch output is at-least-once on
+    its own (a batch can be replayed after a crash between the sink write
+    and the checkpoint commit) — so each batch writes an OVERWRITE of its
+    own ``batch=<id>`` directory, making the replay idempotent.  The batch
+    operators are reused unchanged inside foreachBatch; read the sink with
+    ``spark.read.parquet(f"{sink_path}/batch=*")``."""
+    import os as _os
+
     from ..operators import extract as EX
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = EX.extract_for_docs(batch_df, catalog, tiles, queries)
-        out.write.mode("append").parquet(sink_path)
+        out.write.mode("overwrite").parquet(
+            _os.path.join(sink_path, f"batch={batch_id}"))
 
     return (docs_stream.writeStream
             .foreachBatch(process_batch)

@@ -96,7 +96,7 @@ def test_incremental_extract_stream(spark, tmp_path):
     q = incremental_extract(stream, sdfs["media_catalog"], sdfs["tiles"],
                             sdfs["queries_bbox"], sink, ckpt).start()
     q.awaitTermination(300)
-    out = spark.read.parquet(sink)
+    out = spark.read.parquet(f"{sink}/batch=*")
     # streaming micro-batch result == direct batch result
     from rasterkit_spark.operators import extract as EX
     batch = EX.extract_for_docs(sdfs["docs"], sdfs["media_catalog"],

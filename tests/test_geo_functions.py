@@ -231,3 +231,48 @@ def test_h3_feature_gate():
         import pytest as _pt
         with _pt.raises(NotImplementedError, match="grid_cell"):
             C.h3_cell_udf(8)
+
+
+def test_grid_cells_for_bbox_inverted_is_empty(spark):
+    """An inverted bbox (minx > maxx) covers ZERO cells — sequence over a
+    negative span used to mint descending negative offsets whose cell ids
+    silently joined nothing."""
+    from pyspark.sql import functions as F
+    from rasterkit_spark.functions import cells as C
+    df = spark.range(1).select(
+        C.grid_cells_for_bbox(F.lit(1.0e6), F.lit(1.0e6),
+                              F.lit(-1.0e6), F.lit(-1.0e6), 6).alias("c"),
+        C.grid_cells_for_bbox(F.lit(-1.0e6), F.lit(-1.0e6),
+                              F.lit(1.0e6), F.lit(1.0e6), 6).alias("ok"))
+    row = df.first()
+    assert row.c == []
+    assert len(row.ok) > 0 and all(v >= 0 for v in row.ok)
+
+
+def test_get_spark_config_resolution():
+    """Explicit shuffle_partitions must win regardless of the cores
+    string; the master fallback must not fire when an env master is set
+    (the old precedence silently used 64 / stamped local[] over yarn)."""
+    import importlib
+    import os
+    from unittest import mock
+    from rasterkit_spark import session as S
+    captured = {}
+
+    class FakeBuilder:
+        def appName(self, *_): return self
+        def config(self, k, v=None):
+            captured[k] = v
+            return self
+        def master(self, m):
+            captured["_master"] = m
+            return self
+        def getOrCreate(self): return None
+
+    with mock.patch.object(S.SparkSession, "builder", FakeBuilder()):
+        S.get_spark("app", cores="*", shuffle_partitions=400)
+        assert captured["spark.sql.shuffle.partitions"] == "400"
+        with mock.patch.dict(os.environ, {"MASTER": "yarn"}):
+            captured.pop("_master", None)
+            S.get_spark("app", cores=8)
+            assert captured["_master"] == "yarn"

@@ -376,3 +376,48 @@ def test_zstd_codec_roundtrip_and_frame_size():
     dec = K.decode_chunk(blob2, K.COMPRESSION_ZSTD, K.PREDICTOR_HORIZONTAL,
                          16, 16)
     assert bytes(dec) == raw
+
+
+def test_rgb_to_luma8_truncates_like_image_crate():
+    """image 0.25 u8 luma is (2126R + 7152G + 722B) // 10000 (truncating
+    integer division) — a float round() is off by one whenever the
+    weighted sum mod 10000 >= 5000 (e.g. (3,0,0): crate 0, round 1)."""
+    rgb = np.array([[[3, 0, 0], [0, 0, 255], [255, 255, 255],
+                     [10, 10, 10]]], dtype=np.uint8)
+    got = K.rgb_to_luma8(rgb)
+    assert got.tolist() == [[0, 18, 255, 10]]
+
+
+def test_clip_chunk_partial_last_row_copies_available_pixels():
+    """A short chunk buffer whose length is not a multiple of chunk_w:
+    the reference's copy_pixel skips only pixels past data.len(), so the
+    pixels present in the incomplete final row must still copy."""
+    chunk_w, chunk_h = 16, 4
+    buf = np.arange(40, dtype=np.uint8)  # 2 full rows + 8 pixels of row 2
+    out = np.zeros((4, 16), dtype=np.uint8)
+    K.clip_chunk_into(out, buf.tobytes(), chunk_w, chunk_h, 0, 0,
+                      0, 0, 16, 4)
+    assert out[2, :8].tolist() == list(range(32, 40))  # partial row copied
+    assert (out[2, 8:] == 0).all() and (out[3] == 0).all()
+    # spp=3 flavor: only complete pixels of the partial row copy
+    out3 = np.zeros((2, 4, 3), dtype=np.uint8)
+    buf3 = np.arange(17, dtype=np.uint8)  # row0 = 12B, then 1 pixel + 2B
+    K.clip_chunk_into(out3, buf3.tobytes(), 4, 2, 0, 0, 0, 0, 4, 2,
+                      samples=3)
+    assert out3[1, 0].tolist() == [12, 13, 14]
+    assert (out3[1, 1:] == 0).all()
+
+
+def test_predictor_stride_partial_row_tail():
+    """samples=3 predictor undo must cumsum the partial final row too
+    (the stride branch used to leave tail pixels as raw deltas while the
+    grayscale branch handled them)."""
+    width, height, spp = 4, 2, 3
+    full = np.arange(1, width * height * spp + 1, dtype=np.uint8) \
+        .reshape(height, width, spp)
+    enc = K.apply_horizontal_predictor_encode(full.reshape(-1), width,
+                                              height, spp)
+    short = enc[: width * spp + 2 * spp]  # row 0 + 2 pixels of row 1
+    dec = K.undo_horizontal_predictor(short, width, height, spp)
+    want = full.reshape(-1)[: len(short)]
+    assert dec.tolist() == want.tolist()
