@@ -736,6 +736,50 @@ def _rgb_minmax_oracle_sql() -> str:
       AS t(query_id, media_ref, vmin, vmax)"""
 
 
+def _q_extract_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit overview extraction (S7): extract(level=1) resolves
+    regions against the level-1 geotransform/dims and joins level-1
+    tiles — driver-gates the level-scaled catalog path."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import extract as EX
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    sdfs = c.to_spark(spark, ["queries_bbox", "media_catalog", "tiles"])
+    out = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                     sdfs["tiles"], level=1)
+    return out.select("query_id", "media_ref", "region_x", "region_y",
+                      "region_w", "region_h", "window_sha256")
+
+
+def _extract_level1_oracle_sql() -> str:
+    """VALUES oracle from the numpy replay against the level-1-scaled
+    catalog rows and level-1 tile blobs."""
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.fixtures import oracle as OR
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    cat = c.media_catalog.set_index("media_ref", drop=False)
+    rows = []
+    for q in c.queries_bbox.itertuples():
+        cr = cat.loc[q.media_ref]
+        if cr.media_kind != "raster" or 1 not in c.pixels[q.media_ref]:
+            continue
+        sc = cr.copy()
+        sc["width"] = int(cr.width) >> 1
+        sc["height"] = int(cr.height) >> 1
+        sc["pixel_sx"] = cr.pixel_sx * 2
+        sc["pixel_sy"] = cr.pixel_sy * 2
+        exp = OR.expected_window(c, q, sc, level=1)
+        rx, ry, rw, rh = exp["region"]
+        rows.append((q.query_id, q.media_ref, rx, ry, rw, rh,
+                     exp["sha256"]))
+    vals = ",\n      ".join(
+        f"('{a}', '{m}', {x}, {y}, {w}, {h}, '{s}')"
+        for a, m, x, y, w, h, s in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(query_id, media_ref, region_x, region_y, region_w, region_h,
+           window_sha256)"""
+
+
 def _q_doc_media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 driver gate: interleaved input_hint docs → posexplode(spans) →
     media-ref join → tile extraction (operators/extract.extract_for_docs),
@@ -842,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dups"] = _q_embedding_dups  # rows-only
     q["ann_ivf_topk"] = _q_ann_ivf           # rows-only (approximate)
     q["extract_windows"] = _q_extract_fixture
+    q["extract_level1"] = _q_extract_level1
     q["doc_media_spans"] = _q_doc_media_spans
     q["span_seq_roundtrip"] = _q_span_seq
     q["zonal_stats_raster"] = _q_zonal_raster
@@ -1154,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["extract_windows"] = _extract_oracle_sql()
+    o["extract_level1"] = _extract_level1_oracle_sql()
     o["doc_media_spans"] = _doc_media_spans_oracle_sql()
     o["span_seq_roundtrip"] = _span_seq_oracle_sql()
     o["zonal_stats_raster"] = _zonal_raster_oracle_sql()
