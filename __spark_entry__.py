@@ -189,10 +189,11 @@ def _quality_sql() -> str:
 
 
 def _lang_id_sql() -> str:
-    from rasterkit_spark.operators.text import LANG_MARKERS
+    from rasterkit_spark.operators.text import LANG_MARKERS, marker_needle
     scores = []
     for code, words in sorted(LANG_MARKERS.items()):
-        s = " + ".join(_count_occ("(' ' || text || ' ')", f" {w} ")
+        s = " + ".join(_count_occ("(' ' || text || ' ')",
+                                  marker_needle(code, w))
                        for w in words)
         scores.append((code, f"({s})"))
     inner_cols = ", ".join(f"{s} AS score_{c}" for c, s in scores)

@@ -7,7 +7,8 @@ Usage (cluster):
         --job extract --queries <path> --catalog <path> --tiles <path> \
         --out <path> [--resume-id my_job --base-dir <ckpt>]
 
-Jobs: extract | analyze | convert | pyramid | pip | knn | zonal | bench.
+Jobs: extract | analyze | convert | pyramid | pip | knn | zonal.
+(Benchmarks run via the repo-root ``bench.py``, not through this entry.)
 In local mode the session factory supplies master/local parallelism; on a
 cluster, master/executors come from spark-submit and the Iceberg catalog
 from RASTERKIT_TABLE_FORMAT=iceberg + the usual catalog confs."""
@@ -78,8 +79,6 @@ def main() -> None:
 
     if args.resume_id and args.job == "extract":
         # resumable flavor: partition the query set, commit per partition
-        from pyspark.sql import functions as F
-
         from rasterkit_spark.plans.checkpoint import (ResumableJob,
                                                       bucket_filter)
         job = ResumableJob(spark, args.resume_id,

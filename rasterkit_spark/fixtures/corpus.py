@@ -183,6 +183,7 @@ def make_media_catalog(n_media: int = 12, seed: int = SEED,
     16-px default keeps the tiny parity corpora multi-tile)."""
     rng = np.random.default_rng(seed)
     rows = []
+    strip_idx = 0
     for j in range(n_media):
         media_ref = f"m_{j:08d}"
         kind = "vector" if j % 4 == 3 else "raster"
@@ -214,7 +215,13 @@ def make_media_catalog(n_media: int = 12, seed: int = SEED,
             # (null_rps_every=0 disables: at 2048-px bench geometry the
             # quirk makes one whole-image 4 MB chunk — a deliberate skew
             # monster that belongs in parity corpora, not throughput runs)
-            is_null = null_rps_every and j % null_rps_every == 5
+            # every null_rps_every-th STRIP raster (counter, first slot
+            # null): the old `j % null_rps_every == 5` trigger silently
+            # produced ZERO null-rps rasters for any value <= 5 (and for
+            # 4 it could only land on vector slots, j % 4 == 3)
+            is_null = (bool(null_rps_every)
+                       and strip_idx % null_rps_every == 0)
+            strip_idx += 1
             rps = 0 if is_null else int(rng.choice(list(rps_choices)))
         epsg = 3857 if j % 2 == 0 else 4326
         if epsg == 3857:
@@ -414,7 +421,15 @@ def make_queries(catalog: pd.DataFrame, n_per_kind: int = 25,
             x0, y0, x1, y1 = float(lon0[0]), float(lat0[0]), float(lon1[0]), float(lat1[0])
         else:
             crs = rec.epsg
-        if i == 7:  # high-latitude clamp case
+        if i == 7:
+            # high-latitude clamp case: MUST target a 3857 raster so the
+            # 4326 bbox takes the G6 inline-Mercator (±85.06 clamp) path —
+            # recs[7] happens to be 4326 in both standard corpora, which
+            # silently routed this query down the same-CRS path and left
+            # the clamp quirk with zero fixture coverage
+            merc = [r for r in recs if r.epsg == 3857]
+            if merc:
+                rec = merc[0]
             crs, x0, y0, x1, y1 = 4326, -10.0, 84.9, -9.0, 89.9
         bbox_rows.append(dict(
             query_id=f"qb_{i:04d}", media_ref=rec.media_ref,

@@ -58,16 +58,22 @@ def colormap_from_csv(text: str, cmap_id: str = "csv",
             continue
         parts = [p.strip() for p in s.split(",")]
         label = None
-        if len(parts) == 2:
-            value, (r, g, b) = int(float(parts[0])), hex_to_rgb(parts[1])
-        elif len(parts) == 3 and parts[1].startswith("#"):
-            value, (r, g, b), label = int(float(parts[0])), \
-                hex_to_rgb(parts[1]), parts[2]
-        elif len(parts) >= 4:
-            value = int(float(parts[0]))
-            r, g, b = int(parts[1]), int(parts[2]), int(parts[3])
-            label = parts[4] if len(parts) > 4 else None
-        else:
+        # every malformed row skips (like 3-field non-hex junk always
+        # did) instead of ValueError-aborting the whole read: hex rows
+        # with a comma-bearing label, truncated numeric rows, etc.
+        try:
+            if len(parts) >= 2 and parts[1].startswith("#"):
+                value, (r, g, b) = int(float(parts[0])), hex_to_rgb(parts[1])
+                label = ",".join(parts[2:]) or None
+            elif len(parts) == 2:
+                value, (r, g, b) = int(float(parts[0])), hex_to_rgb(parts[1])
+            elif len(parts) >= 4:
+                value = int(float(parts[0]))
+                r, g, b = int(parts[1]), int(parts[2]), int(parts[3])
+                label = parts[4] if len(parts) > 4 else None
+            else:
+                continue
+        except ValueError:
             continue
         rows.append(dict(cmap_id=cmap_id, map_type=map_type, value=value,
                          r=r, g=g, b=b, label=label))
@@ -132,7 +138,10 @@ def colormap_to_sld(cmap: pd.DataFrame, layer_name: str = "layer") -> str:
         "          <RasterSymbolizer>",
         f'            <ColorMap type="{map_type}">',
     ]
-    for row in cmap.sort_values("value").itertuples():
+    # an entry-less source (empty SLD/CSV) yields a zero-COLUMN frame —
+    # sort_values('value') would KeyError; emit an empty <ColorMap>
+    rows = cmap.sort_values("value") if len(cmap) else cmap
+    for row in rows.itertuples():
         label = f' label="{xml_escape(row.label)}"' if row.label else ""
         lines.append(
             f'              <ColorMapEntry color="{rgb_to_hex(row.r, row.g, row.b)}"'

@@ -22,6 +22,20 @@ LANG_MARKERS = {
     "zh": ["的", "是", "了", "在"],
 }
 
+#: languages written WITHOUT inter-word spaces: their markers must be
+#: counted as bare substrings — the space-delimited needle " 的 " never
+#: occurs in unsegmented Chinese prose, structurally pinning score_zh to 0
+NONSPACED_LANGS = {"zh"}
+
+
+def marker_needle(code: str, word: str) -> str:
+    """The literal needle counted for a marker word — space-delimited for
+    space-segmented languages, bare substring for NONSPACED_LANGS.  Both
+    the engine Columns and the DuckDB oracle derive needles HERE, so the
+    two sides cannot drift."""
+    return word if code in NONSPACED_LANGS else f" {word} "
+
+
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 FINGERPRINT_MOD = 1_000_000_007
@@ -102,8 +116,8 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     scores = []
     for code, words in sorted(LANG_MARKERS.items()):
-        s = sum([count_occurrences(t, f" {w} ") for w in words],
-                F.lit(0).cast("long"))
+        s = sum([count_occurrences(t, marker_needle(code, w))
+                 for w in words], F.lit(0).cast("long"))
         scores.append((code, s))
     # argmax via greatest + chained when (ties → alphabetically first code)
     best = F.greatest(*[s for _, s in scores])

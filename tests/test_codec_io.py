@@ -278,3 +278,37 @@ def test_geotiff_registry_full_parity_vs_published_toml():
     assert S.epsg_description(7030) == "Ellipse_WGS_84"
     assert S.geokey_value_name(2048, 4267) == "GCS_NAD27"
     assert S.geokey_value_name(3075, 7) == "CT_Mercator"
+
+
+def test_colormap_csv_malformed_rows_skip_not_crash():
+    """Hex rows with comma-bearing labels parse; truncated/junk rows skip
+    (they used to ValueError-abort the whole read)."""
+    from rasterkit_spark.operators import colormap_io as CIO
+    text = "\n".join([
+        "10,#FF0000,my,label",       # hex + label containing a comma
+        "20,#00FF00,plain",
+        "30,zz",                     # junk 2-field -> skip
+        "40,1,2",                    # truncated numeric -> skip
+        "50,5,6,7,lbl",
+    ])
+    df = CIO.colormap_from_csv(text)
+    assert df.value.tolist() == [10, 20, 50]
+    assert df[df.value == 10].label.iloc[0] == "my,label"
+
+
+def test_colormap_sld_empty_roundtrip():
+    from rasterkit_spark.operators import colormap_io as CIO
+    empty = CIO.colormap_from_sld(
+        "<StyledLayerDescriptor></StyledLayerDescriptor>")
+    out = CIO.colormap_to_sld(empty)
+    assert "<ColorMap" in out and "ColorMapEntry" not in out
+
+
+def test_registry_names_gcse_range():
+    """GCSE_* ellipsoid-based geographic CS codes (4001-4095) resolve —
+    the GCS range used to start at 4096 and returned None for all 35."""
+    from rasterkit_spark.functions.geotiff_registry import registry_name
+    assert registry_name(4030) == "GCSE_WGS84"
+    assert registry_name(4267) == "GCS_NAD27"
+    assert registry_name(2048) is None          # geokey id, not a code
+    assert registry_name(32633) == "PCS_WGS84_UTM_zone_33N"

@@ -377,3 +377,24 @@ def test_extract_explicit_level_matches_oracle(spark, corpus, sdfs):
         assert got.new_origin_x == exp["new_origin_x"], r.query_id
         checked += 1
     assert checked > 0
+
+
+def test_clamp_case_targets_mercator_raster():
+    """Fixture invariant: the i==7 high-latitude bbox (84.9-89.9) must sit
+    on a 3857 raster so the G6 inline-Mercator lat clamp actually runs —
+    it used to land on a 4326 raster in both standard corpora, leaving
+    the clamp quirk with zero coverage."""
+    for n_media in (8, 12):
+        c = CP.build_corpus(n_media=n_media, n_docs=10, n_queries=10)
+        cat = c.media_catalog.set_index("media_ref")
+        q7 = c.queries_bbox[c.queries_bbox.query_id == "qb_0007"].iloc[0]
+        assert int(q7.crs) == 4326 and q7.maxy > 85.06
+        assert int(cat.loc[q7.media_ref].epsg) == 3857
+
+
+def test_null_rps_cadence_any_value():
+    """null_rps_every <= 5 used to produce ZERO null-rps rasters (the
+    trigger was hardcoded to j % n == 5)."""
+    cat4 = CP.make_media_catalog(n_media=12, null_rps_every=4)
+    strips = cat4[(cat4.media_kind == "raster") & (cat4.tile_w == 0)]
+    assert (strips.rows_per_strip == 0).any()
