@@ -51,3 +51,48 @@ def test_run_job_extract_resumable(spark, tmp_path):
     g = {(r.query_id, r.window_sha256) for r in got.collect()}
     w = {(r.query_id, r.window_sha256) for r in want.collect()}
     assert g == w
+
+
+@pytest.mark.slow
+def test_true_spark_submit_with_py_files(spark, tmp_path):
+    """REAL ``spark-submit --py-files dist.zip`` (north_rule packaging):
+    the entry script is copied to a bare temp dir so ``rasterkit_spark``
+    is importable ONLY from the shipped zip — a sys.path leak back to the
+    repo would go undetected by the plain-subprocess flavor above."""
+    import shutil
+
+    import pyspark
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    sys.path.insert(0, os.path.join(ROOT, "jobs"))
+    import package
+    zip_path = package.build(str(tmp_path / "eng.zip"))
+    entry = str(tmp_path / "run_job.py")
+    shutil.copy(os.path.join(ROOT, "jobs", "run_job.py"), entry)
+
+    from rasterkit_spark.fixtures import corpus as CP
+    c = CP.build_corpus(n_media=6, n_docs=10, n_queries=6)
+    sdfs = c.to_spark(spark, ["queries_bbox", "media_catalog", "tiles"])
+    paths = {}
+    for k, df in sdfs.items():
+        p = str(tmp_path / k)
+        df.write.parquet(p)
+        paths[k] = p
+    out = str(tmp_path / "out_submit")
+    env = dict(os.environ)
+    env.pop("PYSPARK_SUBMIT_ARGS", None)
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", zip_path, entry,
+         "--job", "extract", "--queries", paths["queries_bbox"],
+         "--catalog", paths["media_catalog"], "--tiles", paths["tiles"],
+         "--out", out],
+        capture_output=True, text=True, env=env, timeout=420,
+        cwd=str(tmp_path))
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+    got = spark.read.parquet(out)
+    from rasterkit_spark.operators import extract as EX
+    want = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                      sdfs["tiles"])
+    g = {(x.query_id, x.window_sha256) for x in got.collect()}
+    w = {(x.query_id, x.window_sha256) for x in want.collect()}
+    assert g == w

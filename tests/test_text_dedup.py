@@ -430,3 +430,15 @@ def test_zero_norm_vectors_handled(spark):
         [{"qid": 8, "embedding": [0.0, 0.0, 0.0]}]))
     with pytest.raises(Exception, match="zero-norm"):
         SIM.cosine_topk_exact(e, zq, 2)
+
+
+def test_lang_id_detects_unsegmented_zh(spark):
+    """zh markers must count as bare substrings: unsegmented Chinese
+    prose has no inter-word spaces, so the old space-delimited needles
+    pinned score_zh to 0 and such docs fell to 'unknown'."""
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "我是学生的是了在都有"},
+        {"doc_id": 2, "text": "the cat and the dog of a house"}]))
+    got = TX.lang_id(docs).toPandas().set_index("doc_id")
+    assert got.loc[1].lang_pred == "zh" and got.loc[1].score_zh > 0
+    assert got.loc[2].lang_pred == "en"
