@@ -606,8 +606,8 @@ def _q_token_count(spark, sf_dir):
 
 def _q_extract_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship raster extraction on the synthetic fixture corpus —
-    byte-level parity is pytest-verified vs the numpy oracle (rows-only
-    here: the driver sees stable window hashes)."""
+    byte-level parity is pytest-verified vs the numpy oracle; the
+    driver gate checks the same rows via the VALUES-literal replay."""
     from rasterkit_spark.fixtures import corpus as CP
     from rasterkit_spark.operators import extract as EX
     c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
@@ -882,10 +882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = _q_fingerprint
     q["ngram_jaccard"] = _q_ngram_jaccard
     q["cosine_topk"] = _q_cosine_topk
-    q["minhash_lsh"] = _q_minhash            # rows-only
-    q["simhash"] = _q_simhash                # rows-only
-    q["embedding_dups"] = _q_embedding_dups  # rows-only
-    q["ann_ivf_topk"] = _q_ann_ivf           # rows-only (approximate)
+    q["minhash_lsh"] = _q_minhash            # full SQL-replay oracle
+    q["simhash"] = _q_simhash                # full SQL-replay oracle
+    q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
+    q["ann_ivf_topk"] = _q_ann_ivf           # data-dependent centroid oracle
     q["extract_windows"] = _q_extract_fixture
     q["extract_level1"] = _q_extract_level1
     q["doc_media_spans"] = _q_doc_media_spans
