@@ -16,4 +16,3 @@ def spark():
     s.stop()
 
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")

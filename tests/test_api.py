@@ -47,6 +47,7 @@ def test_extract_postop_order(env):
                       filter_range=(40, 200),
                       colormaps=sdfs["colormaps"]).toPandas()
     cm = c.colormaps
+    checked = 0
     for row in out.itertuples():
         if row.cmap_id is None or (isinstance(row.cmap_id, float)
                                    and row.cmap_id != row.cmap_id):
@@ -60,6 +61,8 @@ def test_extract_postop_order(env):
         exp = K.apply_colormap(filt.astype(np.uint16), vals,
                                rgb.astype(np.uint8), grp.map_type.iloc[0])
         assert row.rgb_sha256 == hashlib.sha256(exp.tobytes()).hexdigest()
+        checked += 1
+    assert checked > 0  # at least one colormap row must actually verify
 
 
 def test_extract_array_and_colormap_sld(env):

@@ -31,7 +31,9 @@ def test_resume_skips_committed_partitions(spark, tmp_path):
     n = ResumableJob(spark, "job1", str(tmp_path)).run(
         [str(i) for i in range(4)], process)
     assert n == 2
-    assert sorted(calls) == sorted(set(calls))  # no recompute
+    # zero recompute means EXACTLY the two uncommitted partitions ran —
+    # a uniqueness check alone would pass even if '0'/'1' were re-run
+    assert sorted(calls) == ["2", "3"]
 
     # final result is complete and exact
     result = job.result()
@@ -120,11 +122,16 @@ def test_running_type_stats_stateful(spark, tmp_path):
             .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
             .collect()}
 
-    # two files → two micro-batches (state must persist between them)
-    half = batch.count() // 2
+    # two files → two micro-batches (state must persist between them).
+    # Split on a deterministic predicate, NOT limit(): an unordered
+    # limit() evaluated in two separate actions may pick different row
+    # subsets, duplicating/missing events between the halves.
+    cutoff = batch.selectExpr(
+        "percentile_approx(event_id, 0.5) AS c").collect()[0]["c"]
     d = tmp_path / "stream_src"
-    batch.limit(half).coalesce(1).write.parquet(str(d / "a"))
-    spark.read.parquet(src).subtract(batch.limit(half)) \
+    batch.filter(F.col("event_id") <= cutoff) \
+        .coalesce(1).write.parquet(str(d / "a"))
+    batch.filter(F.col("event_id") > cutoff) \
         .coalesce(1).write.parquet(str(d / "b"))
     flat = tmp_path / "flat"
     flat.mkdir()

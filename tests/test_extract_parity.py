@@ -85,6 +85,7 @@ def test_point_radius_queries_e2e(spark, corpus, sdfs):
     # oracle comparison
     cat = corpus.media_catalog.set_index("media_ref", drop=False)
     qpdf = corpus.queries_point
+    checked = 0
     for q in qpdf.itertuples():
         c = cat.loc[q.media_ref]
         if c.media_kind != "raster":
@@ -105,6 +106,8 @@ def test_point_radius_queries_e2e(spark, corpus, sdfs):
         if len(row) == 0:
             continue
         assert row.iloc[0].window_sha256 == exp["sha256"], q.query_id
+        checked += 1
+    assert checked >= 3  # silently-skipped queries must not gut the test
 
 
 def test_span_sequence_invariant(spark, corpus, sdfs):

@@ -133,6 +133,32 @@ def test_zonal_stats_matches_oracle(spark, corpus):
         else:
             assert row.zcount == 0
     assert checked > 0
+    # completeness: every (zone, raster) pair the oracle finds pixels for
+    # MUST be present — iterating only got's rows would let a silent
+    # pair-drop regression pass unnoticed
+    got_pairs = set(zip(got.zone_id, got.media_ref))
+    for z in corpus.zones.itertuples():
+        xs, ys = SP.parse_wkt_polygon(z.polygon_wkt)
+        for c in cat[cat.media_kind == "raster"].itertuples():
+            rx, ry, rw, rh = (int(v) for v in K.generic_crs_to_pixel_region(
+                min(xs), min(ys), max(xs), max(ys), c.origin_x, c.pixel_sx,
+                c.origin_y, -c.pixel_sy, c.width, c.height, 4326,
+                int(c.epsg), None))
+            img = corpus.pixels[c.media_ref][0]
+            win = img[ry:ry + rh, rx:rx + rw]
+            if win.size == 0:
+                continue
+            gx = c.origin_x + (rx + np.arange(win.shape[1]) + 0.5) * c.pixel_sx
+            gy = c.origin_y - (ry + np.arange(win.shape[0]) + 0.5) * c.pixel_sy
+            mx, my = np.meshgrid(gx, gy)
+            if int(c.epsg) == 3857:
+                lon, lat = K.webmercator_to_wgs84(mx.ravel(), my.ravel())
+            else:
+                lon, lat = mx.ravel(), my.ravel()
+            inside = K.points_in_polygon(lon, lat, np.array(xs), np.array(ys))
+            if win.ravel()[inside].size:
+                assert (z.zone_id, c.media_ref) in got_pairs, (
+                    f"dropped pair {(z.zone_id, c.media_ref)}")
 
 
 def test_pip_join_salted_smj_same_result(spark, corpus, points_pdf):
