@@ -351,6 +351,10 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
             break
         ring = min(n, ring * 3)
     pts.unpersist()
+    pending.unpersist()  # the result unions reference `scored`, not pending
+    # note: each round's `scored` cache stays pinned — the returned union
+    # reads it (≤ k·|queries| rows per round, few rounds); Spark frees it
+    # with the session or an explicit unpersist by the caller
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
