@@ -737,6 +737,120 @@ def _rgb_minmax_oracle_sql() -> str:
       AS t(query_id, media_ref, vmin, vmax)"""
 
 
+def _q_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 analyze: per-media metadata describe (layout, code→name
+    translators, CRS classification, map bounds, nodata quirk) — pure
+    Catalyst over the fixture catalog; bounds scaled-floored to mm so the
+    cross-engine compare never straddles a float print boundary."""
+    from pyspark.sql import functions as F
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import raster_ops as RO
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    cat = c.to_spark(spark, ["media_catalog"])["media_catalog"]
+    a = RO.analyze(cat)
+    mm = [F.floor(F.col(col) * 1000).cast("long").alias(f"{col}_mm")
+          for col in ("minx", "miny", "maxx", "maxy")]
+    return a.select("media_ref", "media_kind", "width", "height", "layout",
+                    "compression_name", "predictor_name", "epsg",
+                    "crs_name", "nodata_value", *mm)
+
+
+def _analyze_oracle_sql() -> str:
+    """VALUES oracle: an independent pure-Python replay of the analyze
+    formulas (translator tables, layout rule, crs.rs classification,
+    geo_key_parser bounds, the ':w'/empty nodata quirk)."""
+    import math
+    from rasterkit_spark.fixtures import corpus as CP
+    comp = {1: "None", 8: "Deflate (zlib)", 14: "ZStd"}
+    pred = {1: "None", 2: "Horizontal differencing"}
+
+    def crs_name(e):
+        if e == 4326:
+            return "WGS84"
+        if e in (3857, 3785, 900913):
+            return "WebMercator"
+        if 32601 <= e <= 32660:
+            return "UTM-North"
+        if 32701 <= e <= 32760:
+            return "UTM-South"
+        return "Other"
+
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    rows = []
+    for r in c.media_catalog.itertuples():
+        layout = ("vector" if r.media_kind == "vector"
+                  else "tiled" if r.tile_w > 0 else "stripped")
+        nodata = "255" if r.nodata == "" else \
+            __import__("re").sub(r"^:w\s*", "", r.nodata)
+        minx, maxy = r.origin_x, r.origin_y
+        miny = r.origin_y - float(r.height) * r.pixel_sy
+        maxx = r.origin_x + float(r.width) * r.pixel_sx
+        rows.append((r.media_ref, r.media_kind, r.width, r.height, layout,
+                     comp.get(r.compression, "Unknown"),
+                     pred.get(r.predictor, "Unknown"), r.epsg,
+                     crs_name(int(r.epsg)), nodata,
+                     math.floor(minx * 1000), math.floor(miny * 1000),
+                     math.floor(maxx * 1000), math.floor(maxy * 1000)))
+    vals = ",\n      ".join(
+        f"('{a}', '{k}', {w}, {h}, '{lo}', '{cn}', '{pn}', {e}, '{cr}',"
+        f" '{nd}', {x0}, {y0}, {x1}, {y1})"
+        for a, k, w, h, lo, cn, pn, e, cr, nd, x0, y0, x1, y1 in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(media_ref, media_kind, width, height, layout, compression_name,
+           predictor_name, epsg, crs_name, nodata_value,
+           minx_mm, miny_mm, maxx_mm, maxy_mm)"""
+
+
+def _q_convert_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 driver gate: convert every fixture tile to zstd (decompress →
+    recompress, embarrassingly parallel), then prove decode equality via
+    the sha256 of the re-decoded bytes."""
+    from pyspark.sql import functions as F
+    from rasterkit_spark.fixtures import corpus as CP
+    from rasterkit_spark.operators import raster_ops as RO
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    sdfs = c.to_spark(spark, ["media_catalog", "tiles"])
+    conv = RO.convert_compression(sdfs["tiles"], sdfs["media_catalog"], 14)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve the local 'pd' alias
+    @pandas_udf(StringType())
+    def decoded_sha(blob):
+        import hashlib
+        from rasterkit_spark import kernels as K
+        return pd.Series([
+            hashlib.sha256(K.decompress(bytes(b), 14)).hexdigest()
+            for b in blob])
+
+    return conv.select("media_ref", "level", "tile_x", "tile_y",
+                       decoded_sha(F.col("blob")).alias("decoded_sha"))
+
+
+def _convert_compression_oracle_sql() -> str:
+    """VALUES oracle: sha256 of each ORIGINAL tile's decompressed bytes —
+    conversion must be byte-lossless, so the re-decoded sha equals it."""
+    import hashlib
+    from rasterkit_spark import kernels as K
+    from rasterkit_spark.fixtures import corpus as CP
+    c = CP.build_corpus(n_media=8, n_docs=20, n_queries=10)
+    cat = c.media_catalog.set_index("media_ref")
+    rows = []
+    for t in c.tiles.itertuples():
+        comp = int(cat.loc[t.media_ref, "compression"])
+        raw = K.decompress(bytes(t.blob), comp)
+        rows.append((t.media_ref, t.level, t.tile_x, t.tile_y,
+                     hashlib.sha256(raw).hexdigest()))
+    vals = ",\n      ".join(
+        f"('{m}', {lv}, {x}, {y}, '{s}')" for m, lv, x, y, s in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals})
+      AS t(media_ref, level, tile_x, tile_y, decoded_sha)"""
+
+
 def _q_extract_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit overview extraction (S7): extract(level=1) resolves
     regions against the level-1 geotransform/dims and joins level-1
@@ -887,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
     q["ann_ivf_topk"] = _q_ann_ivf           # data-dependent centroid oracle
     q["extract_windows"] = _q_extract_fixture
+    q["analyze_metadata"] = _q_analyze
+    q["convert_compression"] = _q_convert_compression
     q["extract_level1"] = _q_extract_level1
     q["doc_media_spans"] = _q_doc_media_spans
     q["span_seq_roundtrip"] = _q_span_seq
@@ -1200,6 +1316,8 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["extract_windows"] = _extract_oracle_sql()
+    o["analyze_metadata"] = _analyze_oracle_sql()
+    o["convert_compression"] = _convert_compression_oracle_sql()
     o["extract_level1"] = _extract_level1_oracle_sql()
     o["doc_media_spans"] = _doc_media_spans_oracle_sql()
     o["span_seq_roundtrip"] = _span_seq_oracle_sql()
