@@ -70,7 +70,10 @@ def colormap_from_csv(text: str, cmap_id: str = "csv",
             elif len(parts) >= 4:
                 value = int(float(parts[0]))
                 r, g, b = int(parts[1]), int(parts[2]), int(parts[3])
-                label = parts[4] if len(parts) > 4 else None
+                # rejoin comma-bearing labels like the hex branch does —
+                # keeping only parts[4] silently truncated "50,5,6,7,my,
+                # label" to "my"
+                label = ",".join(parts[4:]) or None
             else:
                 continue
         except ValueError:

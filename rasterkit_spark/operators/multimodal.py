@@ -2,12 +2,14 @@
 columns with typed metadata.
 
 The Spark-side machinery — schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning — is real and tested.  The actual codec work
-(JPEG/PNG decode, audio resample, video frame extraction) needs wheels that
-are not in this container, so each codec call sits behind an import-try:
-with the wheel present it runs; without it, a **deterministic fake** decode
-(documented below) keeps the pipeline executable end-to-end, and
-``strict=True`` surfaces ``NotImplementedError`` instead.
+signatures, partitioning — is real and tested.  TIFF and PNG decode for
+REAL via the in-repo codecs (:mod:`..io.tiffcodec`, :mod:`..io.pngcodec` —
+no wheel needed).  The remaining codec work (JPEG decode, audio resample,
+video frame extraction) needs wheels that are not in this container, so
+each such call sits behind an import-try: with the wheel present it runs;
+without it, a **deterministic fake** decode (documented below) keeps the
+pipeline executable end-to-end, and ``strict=True`` surfaces
+``NotImplementedError`` instead.
 
 Fake-decode contract (deterministic, schema-faithful):
   - image: the first 8 bytes are read as two uint32-LE (w, h) — the fixture
@@ -21,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -84,21 +87,37 @@ def _try_tiff(blob: bytes):
     return w, h, spp, pixels
 
 
+def _try_png(blob: bytes):
+    """REAL decode path #2: PNG via the stdlib-only io/pngcodec (zlib +
+    the five scanline filters — no wheel).  Returns (w, h, channels,
+    pixels) with pixels (h, w) gray or (h, w, c); None for non-PNG or
+    out-of-codec-scope (interlaced / 16-bit) payloads."""
+    from ..io import pngcodec as PC
+    if not blob.startswith(PC.PNG_SIGNATURE):
+        return None
+    try:
+        px, meta = PC.read_png(blob)
+    except (PC.PngError, zlib.error):
+        return None
+    return meta["width"], meta["height"], meta["channels"], px
+
+
 def decode_image_meta(media: DataFrame, blob_col: str = "blob",
                       strict: bool = False) -> DataFrame:
     """Extract (width, height, channels) per image blob.
 
-    Real path: PIL when importable.  Fake path: header parse per the
-    fake-decode contract.  ``strict=True`` raises instead of faking."""
+    Real paths: in-repo TIFF and PNG codecs, then PIL when importable.
+    Fake path: header parse per the fake-decode contract.  ``strict=True``
+    raises instead of faking."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
                 blob = bytes(getattr(r, blob_col))
-                tiff = _try_tiff(blob)
-                if tiff is not None:  # real decode, in-repo codec
-                    w, h, spp, _ = tiff
+                real = _try_tiff(blob) or _try_png(blob)
+                if real is not None:  # real decode, in-repo codecs
+                    w, h, spp, _ = real
                     rows.append((r.media_ref, w, h, spp, 1))
                     continue
                 if _HAVE_PIL:
@@ -108,13 +127,15 @@ def decode_image_meta(media: DataFrame, blob_col: str = "blob",
                         rows.append((r.media_ref, img.width, img.height,
                                      len(img.getbands()), 1))
                         continue
-                    except Exception:
+                    except (OSError, ValueError):
+                        # decode-shaped failures only (corrupt blob /
+                        # unknown format) — unexpected errors propagate
                         pass
                 if strict:
                     raise NotImplementedError(
-                        "image decode requires PIL/opencv (absent in this "
-                        "container); run with strict=False for the "
-                        "deterministic fake-decode path")
+                        "image decode beyond TIFF/PNG requires PIL/opencv "
+                        "(absent in this container); run with strict=False "
+                        "for the deterministic fake-decode path")
                 if len(blob) >= 8:
                     w, h = struct.unpack("<II", blob[:8])
                     rows.append((r.media_ref, int(w), int(h), 1, 0))
@@ -136,10 +157,10 @@ def image_features(media: DataFrame, blob_col: str = "blob",
                    dim: int = 16) -> DataFrame:
     """Feature-extraction: blob → fixed-dim float vector.
 
-    TIFF blobs get a REAL feature: the L1-normalized ``dim``-bin intensity
-    histogram of the decoded pixels (a genuine, deterministic visual
-    signature — histogram similarity IS a standard near-dup signal, and
-    the output feeds operators/similarity.py unmodified).  Non-TIFF blobs
+    TIFF and PNG blobs get a REAL feature: the L1-normalized ``dim``-bin
+    intensity histogram of the decoded pixels (a genuine, deterministic
+    visual signature — histogram similarity IS a standard near-dup signal,
+    and the output feeds operators/similarity.py unmodified).  Other blobs
     fall back to a deterministic hash vector (CNN embedding extractors
     are out-of-container) so the batch shape stays exercised end-to-end."""
 
@@ -148,9 +169,9 @@ def image_features(media: DataFrame, blob_col: str = "blob",
             rows = []
             for r in pdf.itertuples():
                 blob = bytes(getattr(r, blob_col))
-                tiff = _try_tiff(blob)
-                if tiff is not None and tiff[3] is not None:
-                    hist, _ = np.histogram(tiff[3], bins=dim,
+                real = _try_tiff(blob) or _try_png(blob)
+                if real is not None and real[3] is not None:
+                    hist, _ = np.histogram(real[3], bins=dim,
                                            range=(0, 256))
                     vec = hist.astype(np.float32)
                     total = vec.sum()
@@ -179,13 +200,14 @@ RESIZE_SCHEMA = StructType([
 
 def resize_images(media: DataFrame, target_w: int, target_h: int,
                   blob_col: str = "blob", strict: bool = False) -> DataFrame:
-    """Resize: TIFF blobs resize for REAL (nearest-neighbor index sampling
-    on the decoded pixels, re-encoded through the in-repo TIFF writer —
-    deterministic, no wheel needed).  PNG/JPEG need PIL; without it the
-    fake header repack keeps the pipeline executable (strict=True raises).
-    """
+    """Resize: TIFF and PNG blobs resize for REAL (nearest-neighbor index
+    sampling on the decoded pixels, re-encoded through the in-repo TIFF/PNG
+    writers — deterministic, no wheel needed).  JPEG needs PIL; without it
+    the fake header repack keeps the pipeline executable (strict=True
+    raises)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..io import pngcodec as PC
         from ..io import tiffcodec as TC
         for pdf in it:
             rows = []
@@ -200,6 +222,15 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
                     rows.append((r.media_ref, target_w, target_h,
                                  bytearray(TC.write_tiff(out))))
                     continue
+                png = _try_png(blob)
+                if png is not None:
+                    w, h, _, px = png
+                    iy = (np.arange(target_h) * h) // target_h
+                    ix = (np.arange(target_w) * w) // target_w
+                    out = px[iy][:, ix]  # (h,w) and (h,w,c) both index so
+                    rows.append((r.media_ref, target_w, target_h,
+                                 bytearray(PC.write_png(out))))
+                    continue
                 if _HAVE_PIL:
                     import io
                     try:
@@ -210,17 +241,20 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
                         rows.append((r.media_ref, target_w, target_h,
                                      bytearray(out.getvalue())))
                         continue
-                    except Exception:
+                    except (OSError, ValueError):
                         # undecodable blob (fake-header fixture, corrupt
                         # file): strict surfaces it, otherwise fall through
                         # to the fake repack like decode_image_meta does,
-                        # instead of failing the whole stage
+                        # instead of failing the whole stage.  Narrowed to
+                        # decode-shaped errors — OOM/transient failures
+                        # propagate instead of masquerading as placeholders
                         if strict:
                             raise
                 if strict:
                     raise NotImplementedError(
-                        "image resize requires PIL (absent); strict=False "
-                        "uses the fake-header repack")
+                        "image resize beyond TIFF/PNG requires PIL "
+                        "(absent); strict=False uses the fake-header "
+                        "repack")
                 rows.append((r.media_ref, target_w, target_h,
                              bytearray(pack_fake_image(target_w, target_h))))
             yield pd.DataFrame(rows, columns=[f.name for f in

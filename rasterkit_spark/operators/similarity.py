@@ -43,6 +43,26 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
             .select("qid", "nbr_id", "rank", "cos_e6"))
 
 
+def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str,
+                     max_query_rows: int, fn_name: str) -> list:
+    """Bounded driver-collect of the query side.
+
+    ``cosine_topk_fast``/``cosine_topk_exact`` broadcast Q by contract —
+    a corpus-scale query side would OOM the driver, so one cheap bounded
+    action (limit N+1 → count) enforces the contract and redirects the
+    caller to :func:`ivf_topk`, whose probe side is fully distributed."""
+    if max_query_rows is not None:
+        n = queries.limit(max_query_rows + 1).count()
+        if n > max_query_rows:
+            raise ValueError(
+                f"{fn_name}: query side exceeds max_query_rows="
+                f"{max_query_rows} (the query table is collected to the "
+                "driver by contract). For a corpus-scale query side use "
+                "ivf_topk, whose probe side is fully distributed, or "
+                "raise max_query_rows explicitly.")
+    return queries.select(qid_col, qvec_col).collect()
+
+
 def _topk_ids(col: np.ndarray, ids: np.ndarray, kk: int) -> list:
     """Exact per-batch top-k index selection under (value desc, id asc).
 
@@ -65,7 +85,8 @@ def _topk_ids(col: np.ndarray, ids: np.ndarray, kk: int) -> list:
 def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "qid",
-                     qvec_col: str = "embedding") -> DataFrame:
+                     qvec_col: str = "embedding",
+                     max_query_rows: int = 100_000) -> DataFrame:
     """Exact top-k by cosine, numpy fast path.
 
     Same result set as :func:`cosine_topk` up to float-summation order
@@ -78,7 +99,8 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
 
     from ..session import ensure_parallelism
 
-    q_rows = queries.select(qid_col, qvec_col).collect()
+    q_rows = _collect_queries(queries, qid_col, qvec_col, max_query_rows,
+                              "cosine_topk_fast")
     qids = [r[0] for r in q_rows]
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -129,7 +151,8 @@ def cosine_topk_fast(embeddings: DataFrame, queries: DataFrame, k: int,
 def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       qid_col: str = "qid",
-                      qvec_col: str = "embedding") -> DataFrame:
+                      qvec_col: str = "embedding",
+                      max_query_rows: int = 100_000) -> DataFrame:
     """Exact top-k by cosine at matmul speed WITH oracle-parity values —
     returns the same (qid, nbr_id, rank, cos_e6) rows as :func:`cosine_topk`
     bit-for-bit, unlike :func:`cosine_topk_fast` (which normalizes first
@@ -146,7 +169,8 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
 
     from ..session import ensure_parallelism
 
-    q_rows = queries.select(qid_col, qvec_col).collect()
+    q_rows = _collect_queries(queries, qid_col, qvec_col, max_query_rows,
+                              "cosine_topk_exact")
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     na = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # oracle-parity norms

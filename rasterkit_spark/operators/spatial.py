@@ -296,6 +296,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         qix.alias("qix"), qiy.alias("qiy")).cache()
 
     results = []
+    round_caches = []
     # ring₀ for one-round certification: k expected points inside the
     # certified DISK of radius ring·min_extent (π r² · per-cell density ≥ k),
     # doubled as a skew margin
@@ -308,17 +309,26 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         # still-uncertified query from an "exact" join result
         if round_i == max_rounds - 1:
             ring = n
-        side = 2 * ring + 1
-        offs = F.sequence(F.lit(0), F.lit(side * side - 1))
-        cand_cells = F.transform(
-            offs,
-            lambda o: (F.greatest(F.lit(0), F.least(
-                F.col("qix") + (o / side).cast("long") - ring, F.lit(n - 1))) * n
-                + F.greatest(F.lit(0), F.least(
-                    F.col("qiy") + o % side - ring, F.lit(n - 1)))))
-        q_cells = pending.withColumn(
-            "pcell", F.explode(F.array_distinct(cand_cells)))
-        cand = q_cells.join(pts, "pcell", "inner")
+        if ring >= n:
+            # exhaustive round: the pending set is small (certification
+            # failures only) — cross-join it against pts directly instead
+            # of synthesizing the (2n+1)² ≈ 16k-element cell-cover array
+            # per query (which dominates the round's cost when only a
+            # handful of queries remain)
+            cand = pending.crossJoin(pts)
+        else:
+            side = 2 * ring + 1
+            offs = F.sequence(F.lit(0), F.lit(side * side - 1))
+            cand_cells = F.transform(
+                offs,
+                lambda o: (F.greatest(F.lit(0), F.least(
+                    F.col("qix") + (o / side).cast("long") - ring,
+                    F.lit(n - 1))) * n
+                    + F.greatest(F.lit(0), F.least(
+                        F.col("qiy") + o % side - ring, F.lit(n - 1)))))
+            q_cells = pending.withColumn(
+                "pcell", F.explode(F.array_distinct(cand_cells)))
+            cand = q_cells.join(pts, "pcell", "inner")
         # dist via plain multiplication (not pow): bitwise-identical to the
         # SQL oracle's (dx*dx + dy*dy) so distance ties break identically
         dx = F.col("px") - F.col("qx")
@@ -339,6 +349,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
                   .filter(F.col("rank") <= k)
                   .withColumn("certified", certified)
                   .cache())
+        round_caches.append(scored)
         scored.count()
         results.append(scored.filter("certified").select(
             F.col("qid_").alias(query_id), "nbr_id", "rank", "dist"))
@@ -352,12 +363,18 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         ring = min(n, ring * 3)
     pts.unpersist()
     pending.unpersist()  # the result unions reference `scored`, not pending
-    # note: each round's `scored` cache stays pinned — the returned union
-    # reads it (≤ k·|queries| rows per round, few rounds); Spark frees it
-    # with the session or an explicit unpersist by the caller
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    # materialize the union (one eager localCheckpoint, reading straight
+    # from the round caches) and RELEASE every per-round `scored` cache —
+    # the old shape left them pinned for the session's lifetime, so a
+    # long-lived session accumulated k·|queries| rows of executor storage
+    # per kNN call.  The checkpoint block itself is freed by the
+    # ContextCleaner when the returned DataFrame is GC'd.
+    out = out.localCheckpoint(eager=True)
+    for c in round_caches:
+        c.unpersist()
     return out
 
 

@@ -59,16 +59,21 @@ def get_spark(app_name: str = "rasterkit-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
-    # master resolution: an explicit env master always wins; under
-    # spark-submit --master the launcher already carries spark.master, so
-    # stamping local[] would silently force single-node; only with neither
-    # does the local[] fallback apply.  (The old condition was inverted:
-    # MASTER=local[2] crashed with no master set, MASTER=yarn got local[].)
+    # master resolution: an explicit env master always wins; when the
+    # launcher already configured spark.master (spark-submit --master, or
+    # spark-defaults.conf — SparkConf(loadDefaults=True) sees both; the old
+    # PYSPARK_SUBMIT_ARGS probe only covered the interactive pyspark shell,
+    # so `spark-submit --master yarn run_job.py` got silently stamped to
+    # local[]), stamping local[] would force single-node; only with neither
+    # does the local[] fallback apply.
     env_master = os.environ.get("SPARK_MASTER") or os.environ.get("MASTER")
     if env_master:
         builder = builder.master(env_master)
-    elif "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
-        builder = builder.master(f"local[{cores}]")
+    else:
+        from pyspark import SparkConf
+
+        if not SparkConf(loadDefaults=True).contains("spark.master"):
+            builder = builder.master(f"local[{cores}]")
     return builder.getOrCreate()
 
 

@@ -74,6 +74,11 @@ def test_colormap_csv_variants():
     assert list(pdf.value) == [0, 50, 100, 200]
     assert (pdf.iloc[1].r, pdf.iloc[1].g, pdf.iloc[1].b) == (255, 0, 0)
     assert pdf.iloc[3].label == "label6"
+    # comma-bearing labels rejoin in BOTH branches (the numeric branch
+    # used to truncate "my,label" to "my")
+    both = CIO.colormap_from_csv("50,5,6,7,my,label\n60,#010203,hex,label\n")
+    assert both.iloc[0].label == "my,label"
+    assert both.iloc[1].label == "hex,label"
 
 
 def test_colormap_tiff_palette():

@@ -232,6 +232,29 @@ def test_knn_max_rounds_exhaustion_still_exact(spark, points_pdf):
         assert list(sub.nbr_id) == [ids[j] for j in order], r.qid
 
 
+def test_knn_join_releases_round_caches(spark, points_pdf):
+    """knn_join must not leave its per-round `scored` caches pinned: in a
+    long-lived session repeated calls used to accumulate executor storage
+    until the session died.  After the call at most ONE new persistent RDD
+    may remain — the eager localCheckpoint of the result, which the
+    ContextCleaner frees on GC — regardless of how many rounds ran."""
+    jsc = spark.sparkContext._jsc.sc()
+    before_n = jsc.getPersistentRDDs().size()
+    queries = pd.DataFrame({
+        "qid": [f"q{i}" for i in range(6)],
+        "lon": np.r_[RNG.uniform(-170, 170, 3), [179.9, -179.9, 10.0]],
+        "lat": np.r_[RNG.uniform(-80, 80, 3), [-89.9, 89.9, 20.0]],
+    })
+    out = SP.knn_join(spark.createDataFrame(points_pdf),
+                      spark.createDataFrame(queries), 3,
+                      point_id="id", query_id="qid",
+                      x_col="lon", y_col="lat", res=6)
+    assert out.count() == 18  # result fully usable after the release
+    n_after = jsc.getPersistentRDDs().size()
+    assert n_after - before_n <= 1, (
+        f"pinned storage leaked: {n_after} persistent RDDs after knn_join")
+
+
 def test_zonal_stats_rejects_unplaceable_crs(spark):
     """A raster CRS the 4326-polygon PIP stage cannot place must raise up
     front (default) or be excluded (on_unplaceable='skip') — it used to be

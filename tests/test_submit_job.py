@@ -23,6 +23,33 @@ def test_package_zip_builds():
 
 
 @pytest.mark.slow
+def test_submit_master_not_overridden(tmp_path):
+    """`spark-submit --master <m> script.py` carries the master via the
+    spark.master system property, NOT PYSPARK_SUBMIT_ARGS (that env var is
+    only set for the interactive pyspark shell) — get_spark must detect it
+    through SparkConf(loadDefaults=True) and NOT stamp local[cores] over
+    it, or a cluster job silently runs single-node."""
+    import pyspark
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "import sys; sys.path.insert(0, %r)\n"
+        "from rasterkit_spark.session import get_spark\n"
+        "s = get_spark('probe', cores=7)\n"
+        "print('MASTER=' + s.conf.get('spark.master'))\n"
+        "s.stop()\n" % ROOT)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="7")
+    env.pop("PYSPARK_SUBMIT_ARGS", None)
+    env.pop("SPARK_MASTER", None)
+    env.pop("MASTER", None)
+    r = subprocess.run([submit, "--master", "local[3]", str(probe)],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "MASTER=local[3]" in r.stdout, (r.stdout[-500:], r.stderr[-500:])
+
+
+@pytest.mark.slow
 def test_run_job_extract_resumable(spark, tmp_path):
     from rasterkit_spark.fixtures import corpus as CP
     from rasterkit_spark.operators import extract as EX

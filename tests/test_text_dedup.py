@@ -233,6 +233,21 @@ def test_multimodal_plumbing(spark):
     assert list(frames.frame_idx) == [0, 10, 20]
 
 
+def test_cosine_topk_query_guard(spark, embeddings):
+    """The fast/exact flavors collect Q to the driver by contract — a
+    corpus-scale query side must raise with a redirect to ivf_topk, not
+    OOM the driver."""
+    q = embeddings.select(F.col("vec_id").alias("qid"), "embedding")
+    for fn in (SIM.cosine_topk_fast, SIM.cosine_topk_exact):
+        with pytest.raises(ValueError, match="ivf_topk"):
+            fn(embeddings, q, 5, max_query_rows=10)
+    # under the cap the result is unchanged
+    small = q.orderBy("qid").limit(4)
+    got = SIM.cosine_topk_exact(embeddings.limit(100), small, 3,
+                                max_query_rows=10)
+    assert got.count() == 12
+
+
 def test_cosine_topk_fast_matches_hof(spark, embeddings):
     e = embeddings.limit(300).cache()
     q = e.limit(8).select(F.col("vec_id").alias("qid"), "embedding")
@@ -280,6 +295,41 @@ def test_multimodal_real_tiff_decode_resize_features(spark):
     hist, _ = np.histogram(img1, bins=16, range=(0, 256))
     np.testing.assert_allclose(f1, hist / hist.sum(), rtol=1e-6)
     assert abs(f1.sum() - 1.0) < 1e-5
+
+
+def test_multimodal_real_png_decode(spark):
+    """PNG payloads exercise the stdlib pngcodec REAL path end-to-end:
+    metadata, nearest-neighbor resize (PNG-in → PNG-out, pixel-exact),
+    histogram features, and strict=True NOT raising (PNG is real now)."""
+    from rasterkit_spark.io import pngcodec as PC
+
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_ref": ["g", "c"],
+        "blob": [bytearray(PC.write_png(gray)),
+                 bytearray(PC.write_png(rgb))]}))
+
+    meta = (MM.decode_image_meta(media, strict=True)  # strict: no fake path
+            .toPandas().set_index("media_ref"))
+    assert (meta.loc["g", "width"], meta.loc["g", "height"],
+            meta.loc["g", "channels"]) == (64, 48, 1)
+    assert (meta.loc["c", "width"], meta.loc["c", "channels"]) == (30, 3)
+    assert (meta.decode_ok == 1).all()
+
+    rs = (MM.resize_images(media, 16, 12, strict=True)
+          .toPandas().set_index("media_ref"))
+    got, m = PC.read_png(bytes(rs.loc["c", "blob"]))
+    assert (m["width"], m["height"], m["channels"]) == (16, 12, 3)
+    iy = (np.arange(12) * 20) // 12
+    ix = (np.arange(16) * 30) // 16
+    np.testing.assert_array_equal(got, rgb[iy][:, ix])
+
+    feats = MM.image_features(media, dim=16).toPandas().set_index("media_ref")
+    hist, _ = np.histogram(gray, bins=16, range=(0, 256))
+    np.testing.assert_allclose(np.array(feats.loc["g", "feature"]),
+                               hist / hist.sum(), rtol=1e-6)
 
 
 def test_simhash_udf_matches_column_spec(spark):
