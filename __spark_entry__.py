@@ -999,6 +999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = _q_minhash            # full SQL-replay oracle
     q["simhash"] = _q_simhash                # full SQL-replay oracle
     q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
+    # planted near-dups: the non-vacuous positive path (embedding_dups
+    # alone matches on 0=0 rows at sf0.01 — a recall collapse would pass)
+    q["embedding_dups_planted"] = _q_embedding_dups_planted
     q["ann_ivf_topk"] = _q_ann_ivf           # data-dependent centroid oracle
     q["extract_windows"] = _q_extract_fixture
     q["analyze_metadata"] = _q_analyze
@@ -1016,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         FROM events
         GROUP BY CAST(FLOOR(CAST(unix_timestamp(ts) AS DOUBLE) / 300) AS BIGINT),
                  event_type""")
+    # §2.10 stateful path (applyInPandasWithState), real stream execution
+    q["events_stateful_stats"] = _q_events_stateful
     return q
 
 
@@ -1100,9 +1105,107 @@ def _simhash_oracle_sql() -> str:
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 20"""
 
 
+#: deterministic near-dup planting, expressed identically in Spark SQL and
+#: DuckDB SQL: every 20th vector gets a copy (id + 1000000) with its first
+#: 6 of 64 dims zeroed — zeroing floats is exact in both engines, the copy
+#: keeps ~95% of its energy (cos ≈ 0.95 ≫ 0.80, far from the floor(×1e6)
+#: boundary), and the 12×6 banded LSH recovers such a pair with
+#: probability ≈ 1 − (1 − 0.9⁶)¹² ≈ 0.9999.  This makes the gate row
+#: non-vacuous: a recall collapse in the banded-LSH path (the round-1 bug
+#: class) now shows up as spark_rows = 0 vs oracle_rows > 0.
+_PLANTED_SPARK = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           concat(array(cast(0.0 AS float), cast(0.0 AS float),
+                        cast(0.0 AS float), cast(0.0 AS float),
+                        cast(0.0 AS float), cast(0.0 AS float)),
+                  slice(embedding, 7, 58)) AS embedding
+    FROM embeddings WHERE vec_id % 20 = 0"""
+
+_PLANTED_DUCK = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_concat([0, 0, 0, 0, 0, 0]::FLOAT[], embedding[7:])
+               AS embedding
+    FROM embeddings WHERE vec_id % 20 = 0"""
+
+
+def _q_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 stateful streaming through the gate: ``running_type_stats``
+    (applyInPandasWithState) over a REAL two-micro-batch file stream of the
+    events table; the final update per key — whatever the batch order —
+    carries the totals of every event of that key, which is exactly the
+    batch aggregate the oracle computes.  All compared columns are exact
+    integers: n_total, the state's order-independent centi-sum ``sum_c``
+    (per-event floor(value·100+0.5) accumulated in int64 — the float
+    ``sum_total`` is summation-order-sensitive at floor boundaries, so it
+    stays pytest-only with a tolerance), and max_ts in epoch micros (the
+    state stores micros, so parity is exact)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rasterkit_spark.streaming.jobs import running_type_stats
+
+    batch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    tmp = _tf.mkdtemp(prefix="ess_gate_")
+    src = _os.path.join(tmp, "src")
+    _os.makedirs(src)
+    # two deterministic halves → two micro-batches (state must carry over)
+    i = 0
+    for pred in ("event_id % 2 = 0", "event_id % 2 = 1"):
+        part = _os.path.join(tmp, f"h{i}")
+        batch.filter(pred).coalesce(1).write.parquet(part)
+        for f in sorted(_os.listdir(part)):
+            if f.endswith(".parquet"):
+                _sh.copy(_os.path.join(part, f),
+                         _os.path.join(src, f"{i:02d}.parquet"))
+        i += 1
+    name = "ess_gate_sink"
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (running_type_stats(stream).writeStream
+         .format("memory").queryName(name).outputMode("update")
+         .option("checkpointLocation", _os.path.join(tmp, "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    # n_total is strictly increasing per key across its updates, so the
+    # max-n_total row IS the final state — batch-order-independent
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_total"))
+    final = (out.withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1")
+             .select("event_type",
+                     F.col("n_total").cast("long").alias("n_total"),
+                     F.col("sum_c").cast("long").alias("sum_c"),
+                     F.unix_micros(F.col("max_ts")).alias("max_ts_us")))
+    # materialize before the temp stream dir goes away; rows are tiny
+    # (one per event_type)
+    rows = final.collect()
+    _sh.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, final.schema)
+
+
+def _q_embedding_dups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    return DD.embedding_dup_pairs(spark.sql(_PLANTED_SPARK), 0.80,
+                                  n_bands=12, band_planes=6, dim=64)
+
+
 def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
                                threshold: float = 0.80,
-                               quant_scale: int = 65536) -> str:
+                               quant_scale: int = 65536,
+                               source: str = "SELECT vec_id, embedding "
+                                             "FROM embeddings") -> str:
     """SQL replay of the banded hyperplane LSH + exact-cosine dedup.  The
     deterministic ±1 plane weights (md5 of "plane:dim") are computed here
     and inlined as literals — identical to the engine's closure — and the
@@ -1121,10 +1224,11 @@ def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
         band_exprs.append(f"({bits})")
     sig_list = ",\n           ".join(band_exprs)
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                      list_transform(embedding::DOUBLE[],
-                                     x -> floor(x * {quant_scale}.0 + 0.5)) AS vq
-               FROM embeddings),
+    WITH src AS ({source}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_transform(embedding::DOUBLE[],
+                                x -> floor(x * {quant_scale}.0 + 0.5)) AS vq
+          FROM src),
     sigs AS (SELECT vec_id, v,
           [{sig_list}] AS bsigs
         FROM e),
@@ -1312,9 +1416,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 300) AS BIGINT),
                  event_type"""
 
+    o["events_stateful_stats"] = """
+        SELECT event_type, COUNT(*) AS n_total,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_c,
+               epoch_us(MAX(ts)) AS max_ts_us
+        FROM events GROUP BY event_type"""
+
     o["minhash_lsh"] = _minhash_oracle_sql()
     o["simhash"] = _simhash_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
+    o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
+        source=_PLANTED_DUCK)
     o["extract_windows"] = _extract_oracle_sql()
     o["analyze_metadata"] = _analyze_oracle_sql()
     o["convert_compression"] = _convert_compression_oracle_sql()

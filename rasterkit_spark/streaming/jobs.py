@@ -48,40 +48,53 @@ def running_type_stats(events_stream: DataFrame,
                                    StringType, StructField, StructType,
                                    TimestampType)
 
+    import numpy as np
+
     out_schema = StructType([
         StructField("event_type", StringType()),
         StructField("n_total", LongType()),
         StructField("sum_total", DoubleType()),
+        StructField("sum_c", LongType()),
         StructField("max_ts", TimestampType()),
         StructField("closed", BooleanType()),
     ])
     state_schema = StructType([
         StructField("n", LongType()),
         StructField("s", DoubleType()),
+        # exact centi-sum: per-event floor(value*100 + 0.5) accumulated in
+        # int64 — float running sums are summation-order-sensitive (a
+        # restarted/differently-batched stream can flip floor(s*100) by
+        # one), the integer accumulation is order-independent and so
+        # bit-reproducible across engines and batch splits
+        StructField("sc", LongType()),
         StructField("mx", LongType()),  # epoch micros (state stores longs)
     ])
 
     def update(key, pdf_iter, state: GroupState):
         (etype,) = key
         if state.hasTimedOut:
-            n, s, mx = state.get
+            n, s, sc, mx = state.get
             state.remove()
             yield pd.DataFrame([{
                 "event_type": etype, "n_total": n, "sum_total": s,
-                "max_ts": pd.Timestamp(mx, unit="us"), "closed": True}])
+                "sum_c": sc, "max_ts": pd.Timestamp(mx, unit="us"),
+                "closed": True}])
             return
-        n, s, mx = state.get if state.exists else (0, 0.0, 0)
+        n, s, sc, mx = state.get if state.exists else (0, 0.0, 0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
             s += float(pdf["value"].sum())
+            sc += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                      .astype(np.int64).sum())
             if len(pdf):
                 mx = max(mx, int(pdf["ts"].max().value // 1000))
-        state.update((n, s, mx))
+        state.update((n, s, sc, mx))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame([{
             "event_type": etype, "n_total": n, "sum_total": s,
-            "max_ts": pd.Timestamp(mx, unit="us"), "closed": False}])
+            "sum_c": sc, "max_ts": pd.Timestamp(mx, unit="us"),
+            "closed": False}])
 
     timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
                     if idle_timeout_ms is not None
@@ -118,6 +131,36 @@ def incremental_extract(docs_stream: DataFrame, catalog: DataFrame,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True))
+
+
+def read_incremental_sink(spark, sink_path: str) -> DataFrame:
+    """Reader for :func:`incremental_extract`'s sink.
+
+    LAYOUT CHANGE (round 3): the sink moved from flat append-parquet to
+    per-batch ``batch=<id>`` subdirectories (the idempotent-replay fix) —
+    a plain ``spark.read.parquet(sink_path)`` over the new layout surfaces
+    a ``batch`` partition column old consumers don't expect, and a
+    checkpointed stream resumed over a pre-existing FLAT sink would mix
+    the two layouts.  This helper is the supported read path: it refuses
+    a mixed-layout sink (flat files next to batch= dirs — migrate by
+    moving the flat files into a ``batch=-1`` subdir) and drops the
+    ``batch`` column so consumers see the original schema."""
+    import os as _os
+
+    entries = [e for e in _os.listdir(sink_path)
+               if not e.startswith((".", "_"))]
+    flat = [e for e in entries if not e.startswith("batch=")]
+    batched = [e for e in entries if e.startswith("batch=")]
+    if flat and batched:
+        raise ValueError(
+            f"mixed sink layout at {sink_path}: flat files {flat[:3]} next "
+            "to batch= directories — this sink was written by both the "
+            "pre-round-3 flat writer and the per-batch writer; move the "
+            "flat files into a batch=-1 subdirectory to migrate")
+    if batched:
+        return (spark.read.parquet(_os.path.join(sink_path, "batch=*"))
+                .drop("batch"))
+    return spark.read.parquet(sink_path)
 
 
 def dedup_doc_stream(docs_stream: DataFrame, watermark: str = "10 minutes",

@@ -98,12 +98,22 @@ def test_incremental_extract_stream(spark, tmp_path):
     q = incremental_extract(stream, sdfs["media_catalog"], sdfs["tiles"],
                             sdfs["queries_bbox"], sink, ckpt).start()
     q.awaitTermination(300)
-    out = spark.read.parquet(f"{sink}/batch=*")
+    from rasterkit_spark.streaming.jobs import read_incremental_sink
+    out = read_incremental_sink(spark, sink)
+    assert "batch" not in out.columns  # helper hides the layout column
     # streaming micro-batch result == direct batch result
     from rasterkit_spark.operators import extract as EX
     batch = EX.extract_for_docs(sdfs["docs"], sdfs["media_catalog"],
                                 sdfs["tiles"], sdfs["queries_bbox"])
     assert out.count() == batch.count()
+    # a sink mixing the pre-round-3 flat layout with batch= dirs must be
+    # refused, not silently double-read
+    flat_file = os.path.join(sink, "part-legacy.parquet")
+    with open(flat_file, "wb") as fh:
+        fh.write(b"PAR1")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mixed sink layout"):
+        read_incremental_sink(spark, sink)
 
 
 def test_running_type_stats_stateful(spark, tmp_path):
@@ -117,9 +127,11 @@ def test_running_type_stats_stateful(spark, tmp_path):
     sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
     src = os.path.join(sf, "events.parquet")
     batch = spark.read.parquet(src)
-    want = {r["event_type"]: (r["n"], r["s"])
+    want = {r["event_type"]: (r["n"], r["s"], r["sc"])
             for r in batch.groupBy("event_type")
-            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                 .alias("sc"))
             .collect()}
 
     # two files → two micro-batches (state must persist between them).
@@ -156,9 +168,12 @@ def test_running_type_stats_stateful(spark, tmp_path):
     assert len(out) > len(want)  # at least one mid-stream update emitted
     # last update per key == exact batch aggregate
     final = out.groupby("event_type").last()
-    for etype, (n, s) in want.items():
+    for etype, (n, s, sc) in want.items():
         assert int(final.loc[etype, "n_total"]) == n, etype
         assert abs(float(final.loc[etype, "sum_total"]) - float(s)) < 1e-6
+        # the exact integer centi-sum must match with NO tolerance — it is
+        # the order-independent accumulator the driver gate compares
+        assert int(final.loc[etype, "sum_c"]) == sc, etype
     assert not final["closed"].any()  # no idle timeouts in this run
 
 
