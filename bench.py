@@ -67,7 +67,8 @@ def cpu_calibration(lo: int, hi: int, units: int = 16) -> dict:
 
 
 def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
-                   trials: int | None = None) -> dict[str, dict]:
+                   trials: int | None = None,
+                   big_dedup: bool | None = None) -> dict[str, dict]:
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -81,6 +82,8 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
     heavy = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1"))
     if big is None:
         big = os.environ.get("SPARK_GRAFT_BENCH_BIG") == "1"
+    if big_dedup is None:
+        big_dedup = os.environ.get("SPARK_GRAFT_BENCH_DEDUP_BIG") == "1"
     results: dict[str, dict] = {}
 
     # default 3 trials, min-over-trials: the sandbox shows ±40% co-tenant
@@ -111,6 +114,72 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
     n_slots = spark.sparkContext.defaultParallelism
     spark.range(0, n_slots * 1000, 1, n_slots * 2) \
         .select(_warm(F.col("id"))).count()
+
+    if big_dedup:
+        # compute-bound dedup/similarity config — the 100-TB REGIME, which
+        # the parity corpus misrepresents: there, 18 near-replicas per doc
+        # make the quadratic candidate verify (a shuffle of every shingle
+        # string) the dominant stage, so local mode's single shuffle disk
+        # caps measured scaling at ~0.6.  A production corpus is long
+        # mostly-UNIQUE documents with a small dup fraction — the
+        # embarrassingly-parallel signature stage dominates.  Same for
+        # IVF: wide vectors + many probes make the per-list matmul
+        # dominate the cogroup shuffle.
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        reps, variants = 6, 8
+        # each (rep, variant) suffixes every word with a distinct salt →
+        # ~variants× more DISTINCT shingles per doc, and rep-r docs share
+        # no shingles with rep-r' docs (disjoint salt ranges — no
+        # candidate explosion).  Every 50th base doc's rep-1 copy reuses
+        # rep 0's salts → planted exact dups, so the banding + verify
+        # path runs end-to-end on a realistic ~2% dup fraction.
+        def long_text(rep):
+            return F.concat_ws(" ", *[
+                F.regexp_replace("text", r"(\S+)",
+                                 f"$1x{rep * variants + v}")
+                for v in range(variants)])
+        parts = []
+        for rep in range(reps):
+            txt = long_text(rep)
+            if rep == 1:
+                txt = F.when(F.col("doc_id") % 50 == 0,
+                             long_text(0)).otherwise(txt)
+            parts.append(docs.select(
+                (F.col("doc_id") * 10 + rep).alias("doc_id"),
+                txt.alias("text")))
+        big_docs = parts[0]
+        for p in parts[1:]:
+            big_docs = big_docs.unionByName(p)
+        n_docs = big_docs.count()
+        bench("minhash_dedup",
+              lambda: _rows(DD.minhash_lsh_pairs(big_docs, 0.8, n_hashes=32,
+                                                 bands=8, shingle_n=3,
+                                                 use_words=True)),
+              units=n_docs)
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        erep, qrep = 24, 10  # dim 64 → 256, 48k vectors, 4k queries
+        wide = F.flatten(F.array(
+            F.col("embedding"),
+            F.transform("embedding", lambda x: x * 0.7 + 0.1),
+            F.transform("embedding", lambda x: x * -0.5 + 0.2),
+            F.transform("embedding", lambda x: x * 0.3 - 0.15)))
+        bigemb = emb.crossJoin(
+            spark.range(erep).select(F.col("id").alias("rep"))) \
+            .select((F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+                    F.transform(wide, lambda x: x + F.col("rep") * 0.01)
+                    .alias("embedding"))
+        qe = emb.filter("vec_id % 5 = 0").crossJoin(
+            spark.range(qrep).select(F.col("id").alias("qr"))) \
+            .select((F.col("vec_id") * 1000 + F.col("qr")).alias("qid"),
+                    F.transform(wide, lambda x: x + F.col("qr") * 0.007)
+                    .alias("embedding"))
+        n_emb = bigemb.count()
+        bench("ann_ivf_topk",
+              lambda: _rows(SIM.ivf_topk(bigemb, qe, 10, n_lists=48,
+                                         nprobe=4)),
+              units=n_emb)
+        return results
 
     # ---- corpus-backed raster benches (seeded, deterministic) ----
     if big:
@@ -291,11 +360,13 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
 
 
 def run_once(cpus: str, sf_dir: str, big: bool | None = None,
-             trials: int | None = None) -> dict:
+             trials: int | None = None,
+             big_dedup: bool | None = None) -> dict:
     from rasterkit_spark.session import get_spark
     spark = get_spark("rasterkit-bench", cores=cpus)
     t0 = time.time()
-    queries = run_benchmarks(spark, sf_dir, big=big, trials=trials)
+    queries = run_benchmarks(spark, sf_dir, big=big, trials=trials,
+                             big_dedup=big_dedup)
     total = time.time() - t0
     spark.stop()
     return dict(total=total, queries=queries)
@@ -311,6 +382,9 @@ def main() -> None:
         return
     if "--scaling-big" in sys.argv:
         _scaling_protocol(sf_dir, sf, big=True)
+        return
+    if "--scaling-dedup" in sys.argv:
+        _scaling_protocol(sf_dir, sf, big_dedup=True)
         return
     if "--child" in sys.argv:
         out = run_once(cpus, sf_dir)
@@ -330,9 +404,31 @@ def main() -> None:
     )
     # big-raster config (≥1024-px rasters, 256-px tiles — the COG-geometry
     # regime where per-chunk decode dominates stage latency): one trial of
-    # the two pixel-bound queries, folded into the same parsed line
+    # the two pixel-bound queries, folded into the same parsed line.
+    # Runs in a SUBPROCESS: stopping a SparkSession and creating a new one
+    # in the same process leaves the new context's internal accumulator 0
+    # pointed at the stopped session's Python accumulator-server socket,
+    # and the async DAGScheduler loop logs a benign-but-noisy
+    # "Failed to update accumulator 0 ... Broken pipe" stack trace for
+    # every warm-up task (the unexplained trace in BENCH_r03's tail —
+    # reproduced and root-caused this round; process isolation, same as
+    # the scaling children, eliminates it).
     try:
-        big_out = run_once(cpus, sf_dir, big=True, trials=1)
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_BENCH_BIG="1",
+                   SPARK_GRAFT_BENCH_TRIALS="1")
+        p = subprocess.run([sys.executable, __file__, "--child"],
+                           capture_output=True, text=True, env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        big_out = None
+        for ln in p.stdout.splitlines():
+            if ln.startswith("CHILD_JSON:"):
+                big_out = json.loads(ln[len("CHILD_JSON:"):])
+                break
+        if big_out is None:
+            raise RuntimeError("big-raster child produced no result: "
+                               + p.stderr[-500:])
         line["big_raster"] = dict(
             queries={k: round(v["sec"], 3)
                      for k, v in big_out["queries"].items()},
@@ -350,7 +446,8 @@ def main() -> None:
     print(json.dumps(line))
 
 
-def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
+def _scaling_protocol(sf_dir: str, sf: float, big: bool = False,
+                      big_dedup: bool = False) -> None:
     """local[N] vs local[4N] on identical input → BENCH/BASELINE.md.
 
     ``--assemble f8.json f32.json`` skips the subprocess runs and builds the
@@ -373,6 +470,8 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
                        SPARK_GRAFT_SF_DIR=sf_dir)
             if big:
                 env["SPARK_GRAFT_BENCH_BIG"] = "1"
+            if big_dedup:
+                env["SPARK_GRAFT_BENCH_DEDUP_BIG"] = "1"
             env.setdefault("SPARK_GRAFT_BENCH_HEAVY", "3")
             p = subprocess.run([sys.executable, __file__, "--child"],
                                capture_output=True, text=True, env=env,
@@ -385,7 +484,21 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
                 sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:])
                 raise SystemExit(f"child local[{cpus}] produced no result")
 
-    if big:
+    if big_dedup:
+        lines = ["", "## Big-dedup/similarity scaling (long unique docs, "
+                 "wide vectors)",
+                 "",
+                 "The 100-TB dedup regime: long mostly-unique documents "
+                 "(~2% planted dup fraction) so the embarrassingly-parallel "
+                 "signature stage dominates, and 256-dim vectors with 4k "
+                 "probing queries so the per-list matmul dominates the "
+                 "cogroup shuffle.  The parity corpus above (18 "
+                 "near-replicas per doc → quadratic candidate verify, a "
+                 "shuffle of every shingle string through local mode's "
+                 "single shuffle disk) under-reports these paths the same "
+                 "way the tiny corpus under-reports extract/zonal.",
+                 ""]
+    elif big:
         lines = ["", "## Big-raster scaling (≥1024-px rasters, 256-px tiles)",
                  "",
                  "COG-scale chunk geometry: per-tile decode work dominates "
@@ -435,7 +548,7 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
               f"against this ceiling, not against 1.0.",
               ""]
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "a" if big else "w") as f:
+    with open("BENCH/BASELINE.md", "a" if (big or big_dedup) else "w") as f:
         f.write("\n".join(lines))
     # machine-readable summary the headline bench folds into its JSON line
     summ_path = "BENCH/scaling_summary.json"
@@ -444,7 +557,9 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False) -> None:
             summ = json.load(f)
     except OSError:
         summ = {}
-    summ["big_raster" if big else "parity_corpus"] = dict(
+    section = ("big_dedup" if big_dedup
+               else "big_raster" if big else "parity_corpus")
+    summ[section] = dict(
         cpus=[int(lo), int(hi)],
         efficiency=round(total_eff, 3),
         per_query={n: round(e, 3) for n, e in effs},
