@@ -45,25 +45,51 @@ def _burn_unit(_i: int) -> int:
     return sum(j * j for j in range(12_000_000))
 
 
+def _stream_unit(_i: int) -> float:
+    """One memory-STREAMING work unit: multiply-and-reduce over a 400 MB
+    float64 array — bounded by memory bandwidth, not ALU."""
+    import numpy as np
+    a = np.ones(50_000_000)
+    s = 0.0
+    for _ in range(4):
+        b = a * 1.0000001
+        s += float(b[::4096].sum())
+        a = b
+    return s
+
+
 def cpu_calibration(lo: int, hi: int, units: int = 16) -> dict:
-    """The host's process-scaling ceiling RIGHT NOW: throughput of a fixed
-    pure-CPU workload at ``lo`` vs ``hi`` worker processes.  On this
-    co-tenant sandbox the effective core count varies by the hour (steal
-    up to ~60%), so an engine efficiency read in isolation is
-    uninterpretable — ``ceiling`` is the efficiency a PERFECTLY scaling
-    program would measure at the same moment, and the engine's number
-    should be compared against it, not against 1.0."""
+    """The host's process-scaling ceilings RIGHT NOW, two regimes:
+
+    - ``ceiling``: a pure-CPU burn (integer arithmetic in registers) —
+      what a perfectly scaling COMPUTE-bound program would measure.
+    - ``stream_ceiling``: a pure memory-STREAMING burn (400 MB float64
+      multiply+reduce per unit) — what a perfectly scaling program whose
+      inner loop is DATA MOVEMENT would measure.  On this host the memory
+      bus saturates around 2 cores (measured ~0.41 at 2→8 procs), so any
+      stage that streams hundreds of MB (Arrow transport of wide vectors,
+      shuffle spill/read) is capped near that number in local mode — a
+      machine property multi-node clusters don't share (each node brings
+      its own memory bus).
+
+    On this co-tenant sandbox the effective core count also varies by the
+    hour (steal up to ~60%), so an engine efficiency read in isolation is
+    uninterpretable — compare each query against the ceiling of its
+    dominant regime, not against 1.0."""
     import multiprocessing as mp
 
-    def thr(procs: int) -> float:
+    def thr(procs: int, fn, n: int) -> float:
         with mp.Pool(procs) as p:
             t0 = time.time()
-            p.map(_burn_unit, range(units))
-            return units / (time.time() - t0)
+            p.map(fn, range(n))
+            return n / (time.time() - t0)
 
-    thr_lo, thr_hi = thr(lo), thr(hi)
+    thr_lo, thr_hi = thr(lo, _burn_unit, units), thr(hi, _burn_unit, units)
+    st_lo, st_hi = thr(lo, _stream_unit, 8), thr(hi, _stream_unit, 8)
     return dict(burn_thr_lo=round(thr_lo, 2), burn_thr_hi=round(thr_hi, 2),
-                ceiling=round((thr_hi / thr_lo) / (hi / lo), 3))
+                ceiling=round((thr_hi / thr_lo) / (hi / lo), 3),
+                stream_thr_lo=round(st_lo, 2), stream_thr_hi=round(st_hi, 2),
+                stream_ceiling=round((st_hi / st_lo) / (hi / lo), 3))
 
 
 def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
@@ -125,18 +151,32 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
         # embarrassingly-parallel signature stage dominates.  Same for
         # IVF: wide vectors + many probes make the per-list matmul
         # dominate the cogroup shuffle.
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # pre-partition the SMALL base tables before amplification: the
+        # same fixed width at every parallelism level, so (a) both sides
+        # of the scaling comparison run the identical plan (otherwise
+        # ensure_parallelism repartitions the ~300 MB amplified text
+        # through the single shuffle disk at local[8] and not at
+        # local[2]), and (b) the amplified lineage is born wide enough
+        # to use all cores with no wide-payload shuffle at all
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).repartition(32)
         reps, variants = 6, 8
-        # each (rep, variant) suffixes every word with a distinct salt →
-        # ~variants× more DISTINCT shingles per doc, and rep-r docs share
-        # no shingles with rep-r' docs (disjoint salt ranges — no
-        # candidate explosion).  Every 50th base doc's rep-1 copy reuses
-        # rep 0's salts → planted exact dups, so the banding + verify
-        # path runs end-to-end on a realistic ~2% dup fraction.
+        # each (doc, rep, variant) suffixes every word with a salt carrying
+        # the DOC ID and the variant index → ~variants× more DISTINCT
+        # shingles per doc, and no two (doc, rep) documents share shingles
+        # (the synthetic base corpus is full of template duplicates —
+        # without the doc_id salt those dup groups inflate the candidate
+        # set 48× beyond the true pairs and the verify dominates).  Every
+        # 50th base doc's rep-1 copy reuses rep 0's salts → planted exact
+        # dups, a realistic ~2% dup fraction driving banding + verify
+        # end-to-end.
         def long_text(rep):
             return F.concat_ws(" ", *[
-                F.regexp_replace("text", r"(\S+)",
-                                 f"$1x{rep * variants + v}")
+                F.regexp_replace(
+                    F.col("text"), F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1x"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(f"_{rep * variants + v}")))
                 for v in range(variants)])
         parts = []
         for rep in range(reps):
@@ -157,8 +197,9 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
                                                  use_words=True)),
               units=n_docs)
 
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        erep, qrep = 24, 10  # dim 64 → 256, 48k vectors, 4k queries
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")).repartition(32)
+        erep, qrep = 48, 20  # dim 64 → 256, 96k vectors, 8k queries
         wide = F.flatten(F.array(
             F.col("embedding"),
             F.transform("embedding", lambda x: x * 0.7 + 0.1),
@@ -546,6 +587,17 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False,
               f"(efficiency a PERFECTLY scaling program would read on this "
               f"co-tenant host right now); compare the engine's number "
               f"against this ceiling, not against 1.0.",
+              "",
+              f"**Memory-streaming ceiling: {calib['stream_ceiling']:.2f}** — "
+              f"the same protocol with a memory-BANDWIDTH-bound unit "
+              f"(400 MB float64 multiply+reduce) reached "
+              f"{calib['stream_thr_lo']:.2f} → {calib['stream_thr_hi']:.2f} "
+              f"units/s: this host's memory bus saturates near {lo} cores, "
+              f"so stages whose inner loop is data movement (Arrow "
+              f"transport of wide vectors, shuffle spill/read) are capped "
+              f"near THIS number at any parallelism — a single-node "
+              f"property; each node of a real cluster brings its own "
+              f"memory bus.",
               ""]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a" if (big or big_dedup) else "w") as f:
@@ -564,6 +616,7 @@ def _scaling_protocol(sf_dir: str, sf: float, big: bool = False,
         efficiency=round(total_eff, 3),
         per_query={n: round(e, 3) for n, e in effs},
         machine_ceiling=calib["ceiling"],
+        stream_ceiling=calib["stream_ceiling"],
         measured_unix=int(time.time()))
     with open(summ_path, "w") as f:
         json.dump(summ, f, indent=1)

@@ -280,14 +280,36 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     cand = (a.join(b, ["band", "bsig"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").dropDuplicates())
+    # materialize the (small) candidate set once: it feeds BOTH the
+    # verify joins and the semi-join below — left lazy, every branch
+    # would re-run the whole signature pipeline; the checkpoint block is
+    # freed by the ContextCleaner when the result is GC'd (no pinned
+    # cache, same pattern as knn_join)
+    cand = cand.localCheckpoint(eager=True)
     # exact verification driven BY the candidate pairs — never a raw
     # shingle self-join (hot shingles in low-entropy corpora would make
     # that quadratic): cand ⋈ shingles(id_a) ⋈ shingles on (id_b, shingle),
     # so fan-out is |cand|·|shingles per doc|, independent of shingle heat.
-    tok = docs.select(
+    # The shingle explode itself is ALSO candidate-reduced: only docs that
+    # appear in some candidate pair are re-shingled (semi-join on the
+    # candidate id set) — at corpus scale with a small dup fraction the
+    # verify cost is ∝ |candidates|, not ∝ |corpus| (exploding every
+    # doc's shingles to verify a handful of pairs re-ran the shingle UDF
+    # over the whole corpus THREE times: tok_a, tok_b and sizes).
+    cand_ids = (cand.select(F.col("id_a").alias("id"))
+                .unionByName(cand.select(F.col("id_b").alias("id")))
+                .distinct())
+    cand_docs = docs.join(cand_ids,
+                          docs[id_col] == cand_ids["id"], "left_semi")
+    tok = cand_docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_set_udf(shingle_n, use_words)(F.col(text_col)))
          .alias("shingle"))
+    # materialize tok once as well: sizes, tok_a and tok_b are three
+    # separate subtrees that would each re-shingle (and re-read) the
+    # candidate docs; tok is candidate-bound (|cand docs|·|shingles/doc|),
+    # so the checkpoint is small by the same argument as cand
+    tok = tok.localCheckpoint(eager=True)
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     tok_a = tok.select(F.col("id").alias("id_a"), "shingle")
     tok_b = tok.select(F.col("id").alias("id_b"), "shingle")

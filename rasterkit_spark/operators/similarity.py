@@ -225,12 +225,21 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int,
 
 def _kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 5,
                 seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd iterations, distances via the expanded form
+    |s|² − 2s·c + |c|² (one dgemm) instead of materializing the
+    (n, k, dim) difference tensor — the fit is DRIVER-side serial work,
+    and at (2000, 48, 256) the tensor form cost ~3 s per call (a 26%
+    Amdahl serial fraction in ivf_topk); the dgemm form is ~10 ms.
+    The oracle imports this same function, so the (float-rounding-level)
+    assignment differences vs the old form stay engine/oracle-consistent."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_lists, len(sample)),
                      replace=False)
     cents = sample[idx].astype(np.float64)
+    s2 = np.einsum("ij,ij->i", sample, sample)
     for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        d = (s2[:, None] - 2.0 * (sample @ cents.T)
+             + np.einsum("ij,ij->i", cents, cents)[None, :])
         assign = d.argmin(1)
         for c in range(len(cents)):
             m = assign == c
@@ -294,6 +303,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     the floored value always equals the oracle's (e.g. exact self-matches
     floor to the same side)."""
     del broadcast_queries  # superseded by the cogroup plan (see docstring)
+    from ..session import ensure_parallelism
+
+    # small-file inputs (one parquet file → one partition) would otherwise
+    # run the assign/probe UDFs on one core regardless of cluster size —
+    # no-op when the input is already wide
+    embeddings = ensure_parallelism(embeddings)
+    queries = ensure_parallelism(queries)
     cents = fit_centroids(embeddings, n_lists, id_col, vec_col,
                           sample_rows, seed)
     cq = quantize(cents).astype(np.int64)  # captured in closures (small)
@@ -302,16 +318,22 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     from pyspark.sql.types import (ArrayType, LongType, StructField,
                                    StructType)
 
+    # int64 distances via the expanded |m|² − 2m·c + |c|² — EXACT integer
+    # arithmetic, so assignment is bit-identical to the difference-tensor
+    # form (and to the oracle SQL, which already computes this expanded
+    # expression) while skipping the (batch, lists, dim) temporary
+    cq2 = (cq * cq).sum(1)
+
     @pandas_udf(IntegerType())
     def assign_udf(v: pd.Series) -> pd.Series:
         m = quantize(np.stack(v.to_numpy())).astype(np.int64)
-        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
+        d = (m * m).sum(1)[:, None] - 2 * (m @ cq.T) + cq2[None, :]
         return pd.Series(d.argmin(1).astype(np.int32))  # first-min = low id
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_udf(v: pd.Series) -> pd.Series:
         m = quantize(np.stack(v.to_numpy())).astype(np.int64)
-        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(-1)
+        d = (m * m).sum(1)[:, None] - 2 * (m @ cq.T) + cq2[None, :]
         # stable argsort ties to the lower list_id — same order the SQL
         # oracle's ROW_NUMBER (ORDER BY d, list_id) produces
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
