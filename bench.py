@@ -190,6 +190,10 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
         big_docs = parts[0]
         for p in parts[1:]:
             big_docs = big_docs.unionByName(p)
+        # cache the synthetic input (as the parity corpus caches sdfs):
+        # the regex amplification is corpus-construction, not operator
+        # work — a real pipeline reads these docs from parquet
+        big_docs = big_docs.cache()
         n_docs = big_docs.count()
         bench("minhash_dedup",
               lambda: _rows(DD.minhash_lsh_pairs(big_docs, 0.8, n_hashes=32,
@@ -215,7 +219,10 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
             .select((F.col("vec_id") * 1000 + F.col("qr")).alias("qid"),
                     F.transform(wide, lambda x: x + F.col("qr") * 0.007)
                     .alias("embedding"))
+        bigemb = bigemb.cache()
+        qe = qe.cache()
         n_emb = bigemb.count()
+        qe.count()
         bench("ann_ivf_topk",
               lambda: _rows(SIM.ivf_topk(bigemb, qe, 10, n_lists=48,
                                          nprobe=4)),

@@ -265,6 +265,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
         F.col(id_col).alias("id"),
         minhash_sig_udf(n_hashes, shingle_n, use_words)(F.col(text_col))
         .alias("sig"))
+    # materialize the signature table once: the banding self-join's two
+    # sides are separate subtrees, and exchange reuse is not guaranteed —
+    # left lazy, the signature UDF (the dominant per-doc cost) runs TWICE
+    # over the corpus (measured 2× wall).  The sketch is compact
+    # (n_docs × n_hashes × 8 B — the same bytes the banding shuffle ships
+    # anyway); the block is freed by the ContextCleaner on GC.
+    sig = sig.localCheckpoint(eager=True)
     bands_df = sig.select(
         "id",
         F.explode(F.array(*[
@@ -405,6 +412,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     docs = ensure_parallelism(docs)
     s = docs.select(F.col(id_col).alias("id"),
                     simhash64_udf()(F.col(text_col)).alias("sig"))
+    # one signature pass, not two: see minhash_lsh_pairs — the chunk
+    # self-join would otherwise re-run the UDF per side (8 B/doc sketch)
+    s = s.localCheckpoint(eager=True)
     chunks = s.select("id", "sig", F.explode(F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.shiftright("sig", c * 15).bitwiseAND(F.lit((1 << 15) - 1))
@@ -554,8 +564,13 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
 
     e = embeddings.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("v"))
-    bands = e.select("id", F.posexplode(band_sigs(F.col("v")))
-                     .alias("band", "bsig"))
+    # one signature pass, not two: see minhash_lsh_pairs — the banded
+    # self-join would otherwise re-run band_sigs per side (n_bands × 8 B
+    # per vector sketch)
+    sig_tbl = e.select("id", band_sigs(F.col("v")).alias("bsigs")) \
+        .localCheckpoint(eager=True)
+    bands = sig_tbl.select("id", F.posexplode("bsigs")
+                           .alias("band", "bsig"))
     a = bands.select(F.col("id").alias("id_a"), "band", "bsig")
     b = bands.select(F.col("id").alias("id_b"), "band", "bsig")
     cand = (a.join(b, ["band", "bsig"])
