@@ -550,6 +550,40 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs, max_hamming=20)
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters: connected components (alternating
+    large-star/small-star) over the simhash pair graph, every doc labeled
+    with its component-min cluster id + cluster size (singletons size 1)."""
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id % 4 = 0")
+    pairs = DD.simhash_pairs(docs, max_hamming=20)
+    return DD.dup_clusters(docs, pairs)
+
+
+def _dup_clusters_oracle_sql() -> str:
+    """Recursive-CTE replay: the simhash oracle supplies the edge set, a
+    transitive-closure WITH RECURSIVE computes per-node reachable-min
+    (= component min, edges are symmetric), singletons label themselves."""
+    simhash = _simhash_oracle_sql()
+    return f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({simhash}) sh),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    lab AS (SELECT i.doc_id, COALESCE(c.cluster_id, i.doc_id) AS cluster_id
+            FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM lab l JOIN sizes s ON s.cluster_id = l.cluster_id"""
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
@@ -998,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = _q_cosine_topk
     q["minhash_lsh"] = _q_minhash            # full SQL-replay oracle
     q["simhash"] = _q_simhash                # full SQL-replay oracle
+    q["dup_clusters"] = _q_dup_clusters      # recursive-CTE oracle
     q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
     # planted near-dups: the non-vacuous positive path (embedding_dups
     # alone matches on 0=0 rows at sf0.01 — a recall collapse would pass)
@@ -1425,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["minhash_lsh"] = _minhash_oracle_sql()
     o["simhash"] = _simhash_oracle_sql()
+    o["dup_clusters"] = _dup_clusters_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
         source=_PLANTED_DUCK)

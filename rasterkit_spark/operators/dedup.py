@@ -76,6 +76,103 @@ def exact_dup_pairs(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood.  Expressed as a
+    per-node min groupBy + an equi-join back — no collect_set/collect_list,
+    so a hub node (one doc duplicated a million times) never has to
+    materialize its whole neighborhood inside a single task."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"]))
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge large→small, then every node
+    connects its small neighbors (and itself) to their collective min."""
+    oriented = e.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = oriented.join(m, "u").select(F.col("v").alias("u"),
+                                        F.col("m").alias("v"))
+    selfe = m.select(F.col("u"), F.col("m").alias("v"))
+    return (nbrs.union(selfe)
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"]))
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected dup-pair graph →
+    (node, component) with component = min node id of the component.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log² n) rounds, every round
+    two equi-join shuffles on node id, no per-task neighborhood
+    materialization, so it survives the 100-TB dup graph (power-law
+    degrees: boilerplate pages duplicated 10⁶×).  Each round is
+    localCheckpoint-ed: iterative self-referencing plans otherwise grow an
+    unbounded lineage that re-executes from round 0 on any recompute.
+
+    Convergence: stop when the edge multiset is a stable star forest
+    (round leaves edge count AND per-component sums unchanged).  Raises
+    after ``max_iter`` rounds — for n nodes log₂²(n) rounds suffice, so
+    25 covers any physically storable graph.
+    """
+    e = (pairs.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .dropDuplicates(["u", "v"]))
+    e = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(F.count("*").alias("n"),
+                    F.sum("u").alias("su"),
+                    F.sum("v").alias("sv")).first()
+        sig = (sig["n"], sig["su"], sig["sv"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # converged star forest: every edge is (member, component-min)
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"),
+                     F.col("v").alias("component")).dropDuplicates(["node"])
+    return comp.union(roots).dropDuplicates(["node"])
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Resolve near-dup PAIRS into clusters over the full corpus:
+    (doc_id, cluster_id, cluster_size), cluster_id = min doc id of the
+    component, singletons their own cluster of size 1.
+
+    This is the step every dedup pipeline needs after pair generation —
+    keep one representative per cluster (``doc_id = cluster_id``), drop
+    the rest.  Sizes come from a groupBy on cluster_id (one shuffle),
+    never a window over the whole corpus."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    ids = docs.select(F.col(id_col).cast("long").alias("node"))
+    labeled = (ids.join(cc, "node", "left")
+               .select(F.col("node").alias(id_col),
+                       F.coalesce("component", "node").alias("cluster_id")))
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id") \
+                  .select(id_col, "cluster_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------
 

@@ -500,3 +500,36 @@ def test_lang_id_detects_unsegmented_zh(spark):
     got = TX.lang_id(docs).toPandas().set_index("doc_id")
     assert got.loc[1].lang_pred == "zh" and got.loc[1].score_zh > 0
     assert got.loc[2].lang_pred == "en"
+
+
+def test_connected_components_chain_hub_singleton(spark):
+    """Large-star/small-star CC: a 4-chain, a hub (one center, many leaves
+    — the power-law dup shape), an isolated pair; labels = component min."""
+    edges = [(2, 1), (2, 3), (4, 3)]          # chain 1-2-3-4
+    hub = [(100, 100 + i) for i in range(1, 9)]
+    pairs = spark.createDataFrame(edges + hub + [(10, 11)],
+                                  "id_a long, id_b long")
+    cc = DD.connected_components(pairs).toPandas().set_index("node")
+    assert {cc.loc[i].component for i in (1, 2, 3, 4)} == {1}
+    assert {cc.loc[i].component for i in range(100, 109)} == {100}
+    assert cc.loc[10].component == 10 and cc.loc[11].component == 10
+
+
+def test_dup_clusters_labels_and_sizes(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 20]}))
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (4, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    got = DD.dup_clusters(docs, pairs).toPandas().set_index("doc_id")
+    assert (got.loc[[1, 2, 3, 4]].cluster_id == 1).all()
+    assert (got.loc[[1, 2, 3, 4]].cluster_size == 4).all()
+    assert got.loc[20].cluster_id == 20 and got.loc[20].cluster_size == 1
+
+
+def test_connected_components_empty_and_self_loop(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert DD.connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(5, 5), (6, 7)], "id_a long, id_b long")
+    cc = DD.connected_components(loops).toPandas().set_index("node")
+    assert 5 not in cc.index            # pure self-loop: no edge survives
+    assert cc.loc[7].component == 6
