@@ -620,6 +620,67 @@ def _q_quality(spark, sf_dir):
     return TX.quality_score(spark.table("documents"))
 
 
+def _q_repetition(spark, sf_dir):
+    from rasterkit_spark.operators import text as TX
+    _register(spark, sf_dir)
+    return TX.repetition_signals(spark.table("documents"))
+
+
+def _repetition_oracle_sql() -> str:
+    """Replay of text.repetition_signals: same word split, same n-gram
+    slices as the minhash oracle, ×1e6-floor on identically-ordered IEEE
+    ops, flag thresholds compared on the floored integers."""
+    return """
+    WITH base AS (
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               string_split(TRIM(text), ' ') AS ws
+        FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM base),
+    wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w),
+    wstats AS (SELECT doc_id, SUM(cnt) AS total_words,
+                      MAX(cnt) AS top_word_cnt
+               FROM wc GROUP BY doc_id),
+    g2 AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, CAST(i AS INT),
+                                             CAST(i + 1 AS INT)), ' ') AS g
+           FROM base, LATERAL (SELECT unnest(generate_series(1,
+                   GREATEST(len(ws) - 1, 1))) AS i) t),
+    g2c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, cnt AS top2_cnt, LENGTH(g) AS top2_len
+             FROM (SELECT doc_id, g, cnt,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, g) AS rn
+                   FROM g2c) r WHERE rn = 1),
+    g3 AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, CAST(i AS INT),
+                                             CAST(i + 2 AS INT)), ' ') AS g
+           FROM base, LATERAL (SELECT unnest(generate_series(1,
+                   GREATEST(len(ws) - 2, 1))) AS i) t),
+    g3c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g),
+    g3stats AS (SELECT doc_id, SUM(cnt) AS total_3grams,
+                       COUNT(*) AS uniq_3grams
+                FROM g3c GROUP BY doc_id),
+    fr AS (
+        SELECT b.doc_id,
+               CAST(FLOOR(CAST(w.top_word_cnt AS DOUBLE) * 1000000.0
+                          / w.total_words) AS BIGINT) AS top_word_frac_e6,
+               CAST(FLOOR(LEAST(CAST(t.top2_cnt * t.top2_len AS DOUBLE)
+                                / GREATEST(b.n_chars, 1), 1.0)
+                          * 1000000.0) AS BIGINT)
+                   AS top_2gram_chars_frac_e6,
+               CAST(FLOOR(CAST(g.total_3grams - g.uniq_3grams AS DOUBLE)
+                          * 1000000.0 / g.total_3grams) AS BIGINT)
+                   AS dup_3gram_frac_e6
+        FROM base b JOIN wstats w USING (doc_id)
+        JOIN top2 t USING (doc_id) JOIN g3stats g USING (doc_id))
+    SELECT doc_id, top_word_frac_e6, top_2gram_chars_frac_e6,
+           dup_3gram_frac_e6,
+           CAST(top_word_frac_e6 > 200000
+                OR top_2gram_chars_frac_e6 > 200000
+                OR dup_3gram_frac_e6 > 300000 AS BIGINT) AS repetition_flag
+    FROM fr"""
+
+
 def _q_lang(spark, sf_dir):
     from rasterkit_spark.operators import text as TX
     _register(spark, sf_dir)
@@ -1026,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_join"] = _q_knn
     q["token_count"] = _q_token_count       # package op (portable formulas)
     q["quality_score"] = _q_quality
+    q["repetition_signals"] = _q_repetition
     q["lang_id"] = _q_lang
     q["doc_fingerprint"] = _q_fingerprint
     q["ngram_jaccard"] = _q_ngram_jaccard
@@ -1461,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_lsh"] = _minhash_oracle_sql()
     o["simhash"] = _simhash_oracle_sql()
     o["dup_clusters"] = _dup_clusters_oracle_sql()
+    o["repetition_signals"] = _repetition_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
         source=_PLANTED_DUCK)

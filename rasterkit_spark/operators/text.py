@@ -11,7 +11,7 @@ isn't required.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny marker lexicons per language (stopword-style voting)
 LANG_MARKERS = {
@@ -144,3 +144,94 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(F.length(t) == 0, F.lit(0)).otherwise(fp).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+#: default flag thresholds (Rae et al., "Scaling Language Models: ...
+#: Gopher" §A1.1 repetition filters, adapted to the word/n-gram shapes of
+#: this corpus — the documents table carries no newlines, so the line-level
+#: rules don't apply here)
+#: thresholds in ×1e6 integer form — the flag compares the FLOORED e6
+#: columns, so the cutoff is integer-exact on both engines (a float
+#: threshold like 0.2*1e6 = 200000.00000000003 would straddle)
+TOP_WORD_FRAC_MAX_E6 = 200_000
+TOP_2GRAM_CHARS_FRAC_MAX_E6 = 200_000
+DUP_3GRAM_FRAC_MAX_E6 = 300_000
+
+
+def _gram_array(ws: Column, n: int) -> Column:
+    """Word n-grams from an already-split word array (JVM-side HOFs)."""
+    count = F.greatest(F.size(ws) - (n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(0), count - 1),
+                       lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition statistics for quality filtering:
+
+    - ``top_word_frac_e6``  — occurrences of the most frequent word over
+      total words;
+    - ``top_2gram_chars_frac_e6`` — characters covered by the most frequent
+      word 2-gram (count × gram length, capped at 1.0) over total chars,
+      deterministic argmax (count DESC, gram ASC);
+    - ``dup_3gram_frac_e6`` — fraction of word-3-gram occurrences that are
+      repeats (1 − distinct/total);
+    - ``repetition_flag``   — 1 when any signal crosses its Gopher-style
+      threshold.
+
+    Scale shape: explode → two groupBys keyed by (doc_id[, gram]) — all
+    map-side-combinable equi-shuffles on well-distributed keys; no windows
+    over the corpus, the only window is per-doc top-1 on the 2-gram counts.
+    All ratios are ×1e6-floored BIGINTs (cross-engine float policy)."""
+    base = docs.select(
+        F.col(id_col), F.length(text_col).alias("n_chars"),
+        F.split(F.trim(F.col(text_col)), " ").alias("ws"))
+
+    wc = (base.select(id_col, F.explode("ws").alias("w"))
+          .groupBy(id_col, "w").agg(F.count("*").alias("cnt")))
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_words"),
+        F.max("cnt").alias("top_word_cnt"))
+
+    g2 = (base.select(id_col, F.explode(_gram_array(F.col("ws"), 2))
+                      .alias("g"))
+          .groupBy(id_col, "g").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("g"))
+    top2 = (g2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, F.col("cnt").alias("top2_cnt"),
+                    F.length("g").alias("top2_len")))
+
+    g3 = (base.select(id_col, F.explode(_gram_array(F.col("ws"), 3))
+                      .alias("g"))
+          .groupBy(id_col, "g").agg(F.count("*").alias("cnt")))
+    g3stats = g3.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_3grams"),
+        F.count("*").alias("uniq_3grams"))
+
+    joined = (base.select(id_col, "n_chars")
+              .join(wstats, id_col).join(top2, id_col).join(g3stats, id_col))
+    d = lambda c: c.cast("double")
+    top_word_frac = d(F.col("top_word_cnt")) * 1e6 / F.col("total_words")
+    top2_frac = F.least(
+        d(F.col("top2_cnt") * F.col("top2_len")) / F.greatest("n_chars",
+                                                              F.lit(1)),
+        F.lit(1.0)) * 1e6
+    dup3_frac = (d(F.col("total_3grams") - F.col("uniq_3grams")) * 1e6
+                 / F.col("total_3grams"))
+    tw_e6 = F.floor(top_word_frac).cast("long")
+    t2_e6 = F.floor(top2_frac).cast("long")
+    d3_e6 = F.floor(dup3_frac).cast("long")
+    flag = ((tw_e6 > TOP_WORD_FRAC_MAX_E6)
+            | (t2_e6 > TOP_2GRAM_CHARS_FRAC_MAX_E6)
+            | (d3_e6 > DUP_3GRAM_FRAC_MAX_E6))
+    return joined.select(
+        id_col,
+        tw_e6.alias("top_word_frac_e6"),
+        t2_e6.alias("top_2gram_chars_frac_e6"),
+        d3_e6.alias("dup_3gram_frac_e6"),
+        flag.cast("long").alias("repetition_flag"))

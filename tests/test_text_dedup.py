@@ -533,3 +533,18 @@ def test_connected_components_empty_and_self_loop(spark):
     cc = DD.connected_components(loops).toPandas().set_index("node")
     assert 5 not in cc.index            # pure self-loop: no edge survives
     assert cc.loc[7].component == 6
+
+
+def test_repetition_signals_flags_repetitive_doc(spark):
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "spam " * 19 + "spam"},       # one word 20x
+        {"doc_id": 2, "text": "the quick brown fox jumps over a lazy dog "
+                              "while rain falls on green hills today"},
+    ]))
+    got = TX.repetition_signals(docs).toPandas().set_index("doc_id")
+    assert got.loc[1].top_word_frac_e6 == 1_000_000
+    assert got.loc[1].dup_3gram_frac_e6 > 900_000
+    assert got.loc[1].repetition_flag == 1
+    assert got.loc[2].repetition_flag == 0
+    # fractions bounded
+    assert (got.top_2gram_chars_frac_e6 <= 1_000_000).all()
