@@ -681,6 +681,45 @@ def _repetition_oracle_sql() -> str:
     FROM fr"""
 
 
+#: mixture rates for the gate row (ppm kept per source stratum)
+_MIX_RATES = {"src0": 1_000_000, "src1": 500_000,
+              "src2": 250_000, "src3": 100_000}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus-mixture sampling + train/val/test assignment:
+    hash-bucket Bernoulli per source stratum, then an independently-salted
+    split column — both pure filters/projections (no shuffle)."""
+    from rasterkit_spark.operators import sampling as SP
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    samp = SP.stratified_sample(docs, _MIX_RATES, default_ppm=50_000)
+    # 80/10/10 for the gate so all three split branches are exercised at
+    # sf0.01 row counts (the 98/1/1 default yields train-only on ~70 rows)
+    return (SP.split_assign(samp, train_ppm=800_000, val_ppm=100_000)
+            .select("doc_id", "source", "split"))
+
+
+def _stratified_sample_oracle_sql() -> str:
+    case = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(_MIX_RATES.items()))
+    return f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),
+                               1, 12))::BIGINT % 1000000 AS mixb,
+               ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                               1, 12))::BIGINT % 1000000 AS splb
+        FROM documents),
+    f AS (SELECT * FROM b
+          WHERE mixb < CASE source {case} ELSE 50000 END)
+    SELECT doc_id, source,
+           CASE WHEN splb < 800000 THEN 'train'
+                WHEN splb < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM f"""
+
+
 def _q_lang(spark, sf_dir):
     from rasterkit_spark.operators import text as TX
     _register(spark, sf_dir)
@@ -1088,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_count"] = _q_token_count       # package op (portable formulas)
     q["quality_score"] = _q_quality
     q["repetition_signals"] = _q_repetition
+    q["stratified_sample"] = _q_stratified_sample
     q["lang_id"] = _q_lang
     q["doc_fingerprint"] = _q_fingerprint
     q["ngram_jaccard"] = _q_ngram_jaccard
@@ -1524,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_oracle_sql()
     o["dup_clusters"] = _dup_clusters_oracle_sql()
     o["repetition_signals"] = _repetition_oracle_sql()
+    o["stratified_sample"] = _stratified_sample_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
         source=_PLANTED_DUCK)
