@@ -584,6 +584,43 @@ def _dup_clusters_oracle_sql() -> str:
     FROM lab l JOIN sizes s ON s.cluster_id = l.cluster_id"""
 
 
+def _q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: pairs sharing a ≥40-char substring,
+    with the longest shared span length recovered from anchor runs."""
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id % 2 = 0")
+    return DD.shared_span_pairs(docs, min_len=40)
+
+
+def _shared_spans_oracle_sql() -> str:
+    """Replay: every-position 40-char grams, gram equi-join, islands trick
+    (pos − row_number per (pair, diag)) for run lengths."""
+    return """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    grams AS (
+        SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 40) AS g
+        FROM docs, LATERAL (SELECT unnest(generate_series(1,
+                GREATEST(LENGTH(text) - 39, 0))) AS i) t),
+    m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+                 a.pos - b.pos AS diag
+          FROM grams a JOIN grams b
+            ON a.g = b.g AND a.doc_id < b.doc_id),
+    r AS (SELECT id_a, id_b, diag, pa,
+                 pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                         ORDER BY pa) AS grp
+          FROM m),
+    runs AS (SELECT id_a, id_b, COUNT(*) + 39 AS span
+             FROM r GROUP BY id_a, id_b, diag, grp),
+    spans AS (SELECT id_a, id_b, MAX(span) AS max_span_len
+              FROM runs GROUP BY id_a, id_b),
+    anchors AS (SELECT id_a, id_b, COUNT(*) AS n_anchors
+                FROM m GROUP BY id_a, id_b)
+    SELECT s.id_a, s.id_b, CAST(s.max_span_len AS BIGINT) AS max_span_len,
+           CAST(a.n_anchors AS BIGINT) AS n_anchors
+    FROM spans s JOIN anchors a USING (id_a, id_b)"""
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
@@ -1135,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = _q_minhash            # full SQL-replay oracle
     q["simhash"] = _q_simhash                # full SQL-replay oracle
     q["dup_clusters"] = _q_dup_clusters      # recursive-CTE oracle
+    q["shared_spans"] = _q_shared_spans      # substring-level dedup
     q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
     # planted near-dups: the non-vacuous positive path (embedding_dups
     # alone matches on 0=0 rows at sf0.01 — a recall collapse would pass)
@@ -1565,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
     o["dup_clusters"] = _dup_clusters_oracle_sql()
     o["repetition_signals"] = _repetition_oracle_sql()
     o["stratified_sample"] = _stratified_sample_oracle_sql()
+    o["shared_spans"] = _shared_spans_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
         source=_PLANTED_DUCK)

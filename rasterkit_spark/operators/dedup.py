@@ -173,6 +173,72 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Exact shared-substring spans (substring-level dedup, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" — the
+# substring-match regime, anchored by fixed-length char grams)
+# ---------------------------------------------------------------------------
+
+def shared_span_pairs(docs: DataFrame, min_len: int = 40,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_gram_docs: int | None = None) -> DataFrame:
+    """Pairs of docs sharing an EXACT substring of ≥ ``min_len`` chars →
+    (id_a, id_b, max_span_len, n_anchors).
+
+    Anchoring argument: any shared substring of length ≥ L contains a
+    shared L-gram at an aligned position, so joining every-position
+    L-grams finds every such pair (exact, no recall loss).  The length of
+    the longest shared span is recovered without ever materializing it:
+    matched anchor positions at a constant alignment offset
+    (diag = pos_a − pos_b) form consecutive runs, and a run of k anchors
+    certifies a span of k + L − 1 chars.  Runs are detected with the
+    islands trick (pos − row_number per (pair, diag) window) — the only
+    window is per-(pair, diag), never corpus-wide.
+
+    Scale shape: explode (|text| anchors/doc) → equi-join on the gram →
+    per-pair window + two groupBys.  The join key is a 40-char exact gram;
+    boilerplate grams shared by millions of docs make the classic hot-key
+    blowup, so ``max_gram_docs`` (opt-in, like ngram_jaccard's
+    ``max_doc_freq``) drops grams appearing in more than that many docs —
+    a recall-only cap on spans made ENTIRELY of corpus-wide boilerplate.
+    """
+    L = int(min_len)
+    base = (docs.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("t"))
+            .filter(F.length("t") >= L))  # sequence(1,0) would DESCEND
+    grams = (base.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (L - 1)))
+         .alias("pos"), F.col("t"))
+        .select("id", "pos", F.col("t").substr(F.col("pos"),
+                                               F.lit(L)).alias("g")))
+    if max_gram_docs is not None:
+        keep = (grams.groupBy("g")
+                .agg(F.countDistinct("id").alias("df"))
+                .filter(F.col("df") <= max_gram_docs).select("g"))
+        grams = grams.join(keep, "g")
+    a = grams.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"),
+                     "g")
+    b = grams.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"),
+                     "g")
+    m = (a.join(b, "g")
+         .filter(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b", "pa",
+                 (F.col("pa") - F.col("pb")).alias("diag")))
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+            .groupBy("id_a", "id_b", "diag", "grp")
+            .agg(F.count("*").alias("k")))
+    spans = runs.groupBy("id_a", "id_b").agg(
+        F.max(F.col("k") + (L - 1)).alias("max_span_len"))
+    anchors = m.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_anchors"))
+    return spans.join(anchors, ["id_a", "id_b"]) \
+                .select("id_a", "id_b",
+                        F.col("max_span_len").cast("long"),
+                        F.col("n_anchors").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 # ---------------------------------------------------------------------------
 

@@ -548,3 +548,39 @@ def test_repetition_signals_flags_repetitive_doc(spark):
     assert got.loc[2].repetition_flag == 0
     # fractions bounded
     assert (got.top_2gram_chars_frac_e6 <= 1_000_000).all()
+
+
+def test_shared_span_pairs_planted_substring(spark):
+    """Two docs share an exact 60-char span inside different surroundings;
+    a third doc is unrelated.  span length must be exact."""
+    span = "the quick brown fox jumps over the lazy dog near a river"
+    assert len(span) == 56
+    # surroundings differ in the chars immediately adjacent to the span,
+    # so the recovered max span is exactly the planted one
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "A" * 40 + span + "B" * 40},
+        {"doc_id": 2, "text": "C" * 28 + span + "D" * 48},
+        {"doc_id": 3, "text": "totally unrelated content without overlap "
+                              * 4},
+    ]))
+    got = DD.shared_span_pairs(docs, min_len=40).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.max_span_len == len(span)
+    assert r.n_anchors == len(span) - 40 + 1
+
+
+def test_shared_span_pairs_short_docs_and_cap(spark):
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "too short"},
+        {"doc_id": 2, "text": "also short"},
+    ]))
+    assert DD.shared_span_pairs(docs, min_len=40).count() == 0
+    # hot-gram cap: a gram in 3 docs is dropped at max_gram_docs=2
+    boiler = "b" * 50
+    docs3 = spark.createDataFrame(pd.DataFrame(
+        [{"doc_id": i, "text": boiler} for i in (1, 2, 3)]))
+    assert DD.shared_span_pairs(docs3, min_len=40).count() == 3
+    assert DD.shared_span_pairs(docs3, min_len=40,
+                                max_gram_docs=2).count() == 0
