@@ -621,6 +621,42 @@ def _shared_spans_oracle_sql() -> str:
     FROM spans s JOIN anchors a USING (id_a, id_b)"""
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's distinct
+    word 3-grams that appear in the 'benchmark' slice (doc_id % 9 = 0)."""
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id % 9 != 0")
+    benchmark = spark.table("documents").filter("doc_id % 9 = 0")
+    return DD.contamination_check(docs, benchmark, n=3)
+
+
+def _contamination_oracle_sql() -> str:
+    """Replay: same trim/split word 3-grams as the minhash oracle, distinct
+    per doc, LEFT JOIN a distinct benchmark gram set, hit fraction ×1e6."""
+    grams = """
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, CAST(i AS INT),
+                                          CAST(i + 2 AS INT)), ' ') AS g
+        FROM (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+              FROM documents WHERE {filt}) w,
+        LATERAL (SELECT unnest(generate_series(1,
+                GREATEST(len(ws) - 2, 1))) AS i) t"""
+    return f"""
+    WITH dg AS ({grams.format(filt="doc_id % 9 != 0")}),
+    bg AS (SELECT DISTINCT g FROM ({grams.format(filt="doc_id % 9 = 0")}) b),
+    j AS (SELECT dg.doc_id, dg.g,
+                 CASE WHEN bg.g IS NULL THEN 0 ELSE 1 END AS hit
+          FROM dg LEFT JOIN bg ON bg.g = dg.g),
+    agg AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(hit) AS n_hit
+            FROM j GROUP BY doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(FLOOR(CAST(n_hit AS DOUBLE) * 1000000.0 / n_grams)
+                AS BIGINT) AS overlap_e6
+    FROM agg"""
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
@@ -1173,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = _q_simhash                # full SQL-replay oracle
     q["dup_clusters"] = _q_dup_clusters      # recursive-CTE oracle
     q["shared_spans"] = _q_shared_spans      # substring-level dedup
+    q["contamination_check"] = _q_contamination
     q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
     # planted near-dups: the non-vacuous positive path (embedding_dups
     # alone matches on 0=0 rows at sf0.01 — a recall collapse would pass)
@@ -1604,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
     o["repetition_signals"] = _repetition_oracle_sql()
     o["stratified_sample"] = _stratified_sample_oracle_sql()
     o["shared_spans"] = _shared_spans_oracle_sql()
+    o["contamination_check"] = _contamination_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
         source=_PLANTED_DUCK)

@@ -209,16 +209,20 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
             F.transform("embedding", lambda x: x * 0.7 + 0.1),
             F.transform("embedding", lambda x: x * -0.5 + 0.2),
             F.transform("embedding", lambda x: x * 0.3 - 0.15)))
+        # store as array<float>: the standard embedding dtype — float32
+        # halves cache residency AND the cogroup's wire bytes, and
+        # ivf_topk's post-shuffle float64 widening is exact so scores are
+        # unchanged vs a float32 corpus read from parquet
         bigemb = emb.crossJoin(
             spark.range(erep).select(F.col("id").alias("rep"))) \
             .select((F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
                     F.transform(wide, lambda x: x + F.col("rep") * 0.01)
-                    .alias("embedding"))
+                    .cast("array<float>").alias("embedding"))
         qe = emb.filter("vec_id % 5 = 0").crossJoin(
             spark.range(qrep).select(F.col("id").alias("qr"))) \
             .select((F.col("vec_id") * 1000 + F.col("qr")).alias("qid"),
                     F.transform(wide, lambda x: x + F.col("qr") * 0.007)
-                    .alias("embedding"))
+                    .cast("array<float>").alias("embedding"))
         bigemb = bigemb.cache()
         qe = qe.cache()
         n_emb = bigemb.count()

@@ -750,3 +750,41 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
                               F.col("v_b").cast("array<double>")))
             .filter(F.col("cos_e6") >= int(threshold * 1e6))
             .select("id_a", "id_b", "cos_e6"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        use_words: bool = True) -> DataFrame:
+    """Per-training-doc contamination score against a benchmark corpus:
+    the fraction of the doc's DISTINCT word n-grams that appear anywhere
+    in the benchmark → (doc_id, n_grams, n_hit, overlap_e6).
+
+    The standard decontamination pass (e.g. GPT-3 appendix C, PaLM §6.1
+    style): training docs overlapping an eval set are flagged/dropped.
+    Plan shape: both sides explode to distinct n-grams; the benchmark side
+    collapses to a DISTINCT gram set (benchmarks are tiny next to the
+    corpus — Catalyst broadcasts it under autoBroadcastJoinThreshold, and
+    at worst it's one equi-shuffle on the gram); a left join + count-hits
+    groupBy per doc.  No driver-side collection of either side."""
+    gcol = word_shingles(F.col(text_col), n) if use_words \
+        else shingles(F.col(text_col), n)
+    doc_grams = (docs.select(F.col(id_col), F.explode(gcol).alias("g"))
+                 .dropDuplicates([id_col, "g"]))
+    bench_grams = (benchmark.select(F.explode(
+        word_shingles(F.col(text_col), n) if use_words
+        else shingles(F.col(text_col), n)).alias("g"))
+        .dropDuplicates(["g"])
+        .withColumn("hit", F.lit(1)))
+    joined = doc_grams.join(bench_grams, "g", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+    return out.select(
+        id_col, F.col("n_grams").cast("long"),
+        F.col("n_hit").cast("long"),
+        F.floor(F.col("n_hit").cast("double") * 1e6
+                / F.col("n_grams")).cast("long").alias("overlap_e6"))

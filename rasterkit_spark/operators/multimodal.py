@@ -65,7 +65,10 @@ def _try_tiff(blob: bytes):
     from ..io import tiffcodec as TC
     try:
         ifds, _, _ = TC.read_tiff(blob)
-    except Exception:
+    except (ValueError, struct.error, IndexError):
+        # decode-shaped failures on arbitrary sniffed bytes (bad header,
+        # truncated IFD, out-of-range offset) → not a TIFF; anything else
+        # (MemoryError, I/O) propagates — same policy as the PIL branch
         return None
     if not ifds:
         return None

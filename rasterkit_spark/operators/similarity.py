@@ -339,12 +339,19 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(np.int32).tolist() for row in idx])
 
+    # NO cast to array<double> here: the cogroup below shuffles these
+    # columns, and float32→float64 widening is EXACT, so casting after the
+    # shuffle (score_list's astype) yields bit-identical cos_e6 while a
+    # float32 corpus — the standard embedding storage dtype — crosses the
+    # wire at half the bytes.  The local-mode scaling bisection showed the
+    # vector transport is memory-bandwidth-bound; halving it is the one
+    # lever that also halves per-node shuffle volume on a real cluster.
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
-                          F.col(vec_col).cast("array<double>").alias("v"),
+                          F.col(vec_col).alias("v"),
                           assign_udf(F.col(vec_col)).alias("list_id"))
     probes = queries.select(
         F.col(qid_col).alias("qid"),
-        F.col(qvec_col).cast("array<double>").alias("qv"),
+        F.col(qvec_col).alias("qv"),
         F.explode(probe_udf(F.col(qvec_col))).alias("list_id"))
 
     partial_schema = StructType([

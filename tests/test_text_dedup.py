@@ -584,3 +584,21 @@ def test_shared_span_pairs_short_docs_and_cap(spark):
     assert DD.shared_span_pairs(docs3, min_len=40).count() == 3
     assert DD.shared_span_pairs(docs3, min_len=40,
                                 max_gram_docs=2).count() == 0
+
+
+def test_contamination_check_known_overlap(spark):
+    """doc 1 = 6 words → 4 distinct 3-grams, 2 of which sit inside the
+    benchmark doc; doc 2 shares nothing."""
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 2, "text": "one two three four"},
+    ]))
+    benchmark = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 100, "text": "XX alpha beta gamma delta YY"},
+    ]))
+    got = DD.contamination_check(docs, benchmark, n=3) \
+        .toPandas().set_index("doc_id")
+    assert got.loc[1].n_grams == 4
+    assert got.loc[1].n_hit == 2          # 'alpha beta gamma', 'beta gamma delta'
+    assert got.loc[1].overlap_e6 == 500_000
+    assert got.loc[2].n_hit == 0 and got.loc[2].overlap_e6 == 0
