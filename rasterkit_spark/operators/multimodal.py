@@ -2,12 +2,13 @@
 columns with typed metadata.
 
 The Spark-side machinery — schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning — is real and tested.  TIFF and PNG decode for
-REAL via the in-repo codecs (:mod:`..io.tiffcodec`, :mod:`..io.pngcodec` —
-no wheel needed).  The remaining codec work (JPEG decode, audio resample,
-video frame extraction) needs wheels that are not in this container, so
-each such call sits behind an import-try: with the wheel present it runs;
-without it, a **deterministic fake** decode (documented below) keeps the
+signatures, partitioning — is real and tested.  TIFF, PNG and baseline
+JPEG decode for REAL via the in-repo codecs (:mod:`..io.tiffcodec`,
+:mod:`..io.pngcodec`, :mod:`..io.jpegcodec` — no wheel needed).  The
+remaining codec work (progressive JPEG, audio resample, video frame
+extraction) needs wheels that are not in this container, so each such
+call sits behind an import-try: with the wheel present it runs; without
+it, a **deterministic fake** decode (documented below) keeps the
 pipeline executable end-to-end, and ``strict=True`` surfaces
 ``NotImplementedError`` instead.
 
@@ -105,11 +106,27 @@ def _try_png(blob: bytes):
     return meta["width"], meta["height"], meta["channels"], px
 
 
+def _try_jpeg(blob: bytes):
+    """REAL decode path #3: baseline JPEG via the stdlib+numpy
+    io/jpegcodec (Huffman + IDCT — no wheel).  Returns (w, h, channels,
+    pixels) with pixels (h, w) gray or (h, w, 3) RGB; None for non-JPEG
+    or out-of-codec-scope (progressive / 12-bit) payloads."""
+    from ..io import jpegcodec as JC
+    if len(blob) < 4 or blob[:2] != b"\xFF\xD8":
+        return None
+    try:
+        px, meta = JC.read_jpeg(blob)
+    except (JC.JpegError, IndexError, struct.error):
+        return None
+    return meta["width"], meta["height"], meta["channels"], px
+
+
 def decode_image_meta(media: DataFrame, blob_col: str = "blob",
                       strict: bool = False) -> DataFrame:
     """Extract (width, height, channels) per image blob.
 
-    Real paths: in-repo TIFF and PNG codecs, then PIL when importable.
+    Real paths: in-repo TIFF, PNG and baseline-JPEG codecs, then PIL
+    when importable.
     Fake path: header parse per the fake-decode contract.  ``strict=True``
     raises instead of faking."""
 
@@ -118,7 +135,8 @@ def decode_image_meta(media: DataFrame, blob_col: str = "blob",
             rows = []
             for r in pdf.itertuples():
                 blob = bytes(getattr(r, blob_col))
-                real = _try_tiff(blob) or _try_png(blob)
+                real = _try_tiff(blob) or _try_png(blob) \
+                    or _try_jpeg(blob)
                 if real is not None:  # real decode, in-repo codecs
                     w, h, spp, _ = real
                     rows.append((r.media_ref, w, h, spp, 1))
@@ -136,7 +154,8 @@ def decode_image_meta(media: DataFrame, blob_col: str = "blob",
                         pass
                 if strict:
                     raise NotImplementedError(
-                        "image decode beyond TIFF/PNG requires PIL/opencv "
+                        "image decode beyond TIFF/PNG/baseline-JPEG requires "
+                        "PIL/opencv "
                         "(absent in this container); run with strict=False "
                         "for the deterministic fake-decode path")
                 if len(blob) >= 8:
@@ -160,7 +179,7 @@ def image_features(media: DataFrame, blob_col: str = "blob",
                    dim: int = 16) -> DataFrame:
     """Feature-extraction: blob → fixed-dim float vector.
 
-    TIFF and PNG blobs get a REAL feature: the L1-normalized ``dim``-bin
+    TIFF, PNG and baseline-JPEG blobs get a REAL feature: the L1-normalized ``dim``-bin
     intensity histogram of the decoded pixels (a genuine, deterministic
     visual signature — histogram similarity IS a standard near-dup signal,
     and the output feeds operators/similarity.py unmodified).  Other blobs
@@ -172,7 +191,8 @@ def image_features(media: DataFrame, blob_col: str = "blob",
             rows = []
             for r in pdf.itertuples():
                 blob = bytes(getattr(r, blob_col))
-                real = _try_tiff(blob) or _try_png(blob)
+                real = _try_tiff(blob) or _try_png(blob) \
+                    or _try_jpeg(blob)
                 if real is not None and real[3] is not None:
                     hist, _ = np.histogram(real[3], bins=dim,
                                            range=(0, 256))
@@ -203,13 +223,14 @@ RESIZE_SCHEMA = StructType([
 
 def resize_images(media: DataFrame, target_w: int, target_h: int,
                   blob_col: str = "blob", strict: bool = False) -> DataFrame:
-    """Resize: TIFF and PNG blobs resize for REAL (nearest-neighbor index
-    sampling on the decoded pixels, re-encoded through the in-repo TIFF/PNG
-    writers — deterministic, no wheel needed).  JPEG needs PIL; without it
-    the fake header repack keeps the pipeline executable (strict=True
-    raises)."""
+    """Resize: TIFF, PNG and baseline-JPEG blobs resize for REAL
+    (nearest-neighbor index sampling on the decoded pixels, re-encoded
+    through the in-repo writers — deterministic, no wheel needed).
+    Out-of-scope formats need PIL; without it the fake header repack
+    keeps the pipeline executable (strict=True raises)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..io import jpegcodec as JC
         from ..io import pngcodec as PC
         from ..io import tiffcodec as TC
         for pdf in it:
@@ -233,6 +254,15 @@ def resize_images(media: DataFrame, target_w: int, target_h: int,
                     out = px[iy][:, ix]  # (h,w) and (h,w,c) both index so
                     rows.append((r.media_ref, target_w, target_h,
                                  bytearray(PC.write_png(out))))
+                    continue
+                jpg = _try_jpeg(blob)
+                if jpg is not None:
+                    w, h, _, px = jpg
+                    iy = (np.arange(target_h) * h) // target_h
+                    ix = (np.arange(target_w) * w) // target_w
+                    out = px[iy][:, ix]
+                    rows.append((r.media_ref, target_w, target_h,
+                                 bytearray(JC.write_jpeg(out))))
                     continue
                 if _HAVE_PIL:
                     import io
