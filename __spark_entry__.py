@@ -793,6 +793,38 @@ def _stratified_sample_oracle_sql() -> str:
     FROM f"""
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Embedding-pipeline chunking: 32-word windows, 8-word overlap
+    (stride 24) — pure narrow flatMap, no shuffle."""
+    from rasterkit_spark.operators import text as TX
+    _register(spark, sf_dir)
+    return TX.chunk_documents(spark.table("documents"), chunk_words=32,
+                              overlap=8)
+
+
+def _chunk_documents_oracle_sql() -> str:
+    """Replay: same split, window count 1+ceil(max(nw−32,0)/24), slices
+    via 1-based inclusive list_slice ≡ Spark's slice(start, length)."""
+    return """
+    WITH base AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+                  FROM documents),
+    nb AS (SELECT doc_id, ws,
+                  1 + CAST(CEIL(CAST(GREATEST(len(ws) - 32, 0) AS DOUBLE)
+                                / 24) AS INT) AS nc
+           FROM base),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(list_slice(ws, CAST(i * 24 + 1 AS INT),
+                                          CAST(i * 24 + 32 AS INT)),
+                               ' ') AS chunk_text
+        FROM nb, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) t)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+           CAST(CASE WHEN chunk_text = '' THEN 0
+                     ELSE len(string_split(chunk_text, ' '))
+                END AS BIGINT) AS n_words
+    FROM chunks"""
+
+
 def _q_lang(spark, sf_dir):
     from rasterkit_spark.operators import text as TX
     _register(spark, sf_dir)
@@ -1201,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = _q_quality
     q["repetition_signals"] = _q_repetition
     q["stratified_sample"] = _q_stratified_sample
+    q["chunk_documents"] = _q_chunk_documents
     q["lang_id"] = _q_lang
     q["doc_fingerprint"] = _q_fingerprint
     q["ngram_jaccard"] = _q_ngram_jaccard
@@ -1642,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
     o["stratified_sample"] = _stratified_sample_oracle_sql()
     o["shared_spans"] = _shared_spans_oracle_sql()
     o["contamination_check"] = _contamination_oracle_sql()
+    o["chunk_documents"] = _chunk_documents_oracle_sql()
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
         source=_PLANTED_DUCK)

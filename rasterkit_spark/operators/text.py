@@ -235,3 +235,41 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         t2_e6.alias("top_2gram_chars_frac_e6"),
         d3_e6.alias("dup_3gram_frac_e6"),
         flag.cast("long").alias("repetition_flag"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (embedding-pipeline windows)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, chunk_words: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each doc into word windows of ``chunk_words`` with ``overlap``
+    words carried between consecutive chunks → (doc_id, chunk_id,
+    chunk_text, n_words).  The unit every embedding/RAG pipeline feeds its
+    encoder; chunk_id is the 0-based window index, so (doc_id, chunk_id)
+    is a stable global key.
+
+    Stride = chunk_words − overlap; the last window may be shorter and a
+    doc never emits an empty chunk (a doc shorter than one chunk yields
+    exactly one window).  Pure narrow ops: split + sequence + transform +
+    posexplode — no shuffle, no UDF; at 100 TB this is a flatMap the
+    optimizer pipelines into the scan."""
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+    ws = F.split(F.trim(F.col(text_col)), " ")
+    nw = F.size(ws)
+    # number of windows: 1 + ceil(max(nw - chunk_words, 0) / stride)
+    extra = F.greatest(nw - chunk_words, F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra.cast("double") / stride).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts, lambda i: F.array_join(
+            F.slice(ws, i * stride + 1, chunk_words), " "))
+    out = docs.select(F.col(id_col), F.posexplode(chunks)
+                      .alias("chunk_id", "chunk_text"))
+    n_words = F.when(F.col("chunk_text") == "", 0).otherwise(
+        F.size(F.split(F.col("chunk_text"), " ")))
+    return out.select(id_col, F.col("chunk_id").cast("long"),
+                      "chunk_text", n_words.cast("long").alias("n_words"))

@@ -55,3 +55,32 @@ def test_sampling_plan_has_no_shuffle(spark, big_ids):
     plan = SP.split_assign(SP.stratified_sample(big_ids, rates)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from rasterkit_spark.operators import text as TX
+    words = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": words},           # 100 words
+        {"doc_id": 2, "text": "a b c"},         # shorter than one chunk
+        {"doc_id": 3, "text": ""},              # empty
+    ]))
+    got = TX.chunk_documents(docs, chunk_words=40, overlap=10) \
+        .toPandas()
+    one = got[got.doc_id == 1].sort_values("chunk_id")
+    # stride 30: windows at 0, 30, 60 — the third reaches w99, so 3
+    # chunks give complete coverage (no 4th window starts past the end)
+    assert list(one.chunk_id) == [0, 1, 2]
+    assert list(one.n_words) == [40, 40, 40]
+    c0 = one.iloc[0].chunk_text.split()
+    c1 = one.iloc[1].chunk_text.split()
+    c2 = one.iloc[2].chunk_text.split()
+    assert c0[30:] == c1[:10]                  # 10-word overlap carried
+    assert c0[0] == "w0" and c1[0] == "w30" and c2[0] == "w60"
+    assert c2[-1] == "w99"                     # full coverage
+    two = got[got.doc_id == 2]
+    assert len(two) == 1 and two.iloc[0].n_words == 3
+    three = got[got.doc_id == 3]
+    assert len(three) == 1 and three.iloc[0].n_words == 0
+    with pytest.raises(ValueError):
+        TX.chunk_documents(docs, chunk_words=10, overlap=10)
