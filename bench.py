@@ -386,6 +386,24 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
           lambda: _rows(DD.simhash_pairs(amplified, max_hamming=3)),
           units=n_docs)
 
+    # cluster resolution over a PRE-materialized pair graph (cached +
+    # counted outside the timer) so the bench isolates the iterative
+    # large-star/small-star rounds, not a re-run of the signature stage
+    pair_graph = DD.simhash_pairs(amplified, max_hamming=3).cache()
+    n_pairs = pair_graph.count()
+    bench("dup_clusters",
+          lambda: _rows(DD.dup_clusters(amplified, pair_graph)),
+          units=max(n_pairs, 1))
+    pair_graph.unpersist()
+
+    # exact shared-substring spans: the amplified corpus's rep copies
+    # share their full base text, so every base doc yields a C(6,2) pair
+    # fan with ~|text|-length anchor runs — the hot-key regime the
+    # max_gram_docs cap is for (uncapped here: the fan is the workload)
+    bench("shared_spans",
+          lambda: _rows(DD.shared_span_pairs(amplified, min_len=40)),
+          units=n_docs)
+
     # ---- similarity over an amplified embeddings corpus ----
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     bigemb = emb.crossJoin(

@@ -201,7 +201,13 @@ def shared_span_pairs(docs: DataFrame, min_len: int = 40,
     ``max_doc_freq``) drops grams appearing in more than that many docs —
     a recall-only cap on spans made ENTIRELY of corpus-wide boilerplate.
     """
+    from ..session import ensure_parallelism
+
     L = int(min_len)
+    # one-file parquet = one partition: every downstream stage (the
+    # |text|-anchor explode, the gram join, the run windows) would run on
+    # one core at any cluster size — widen first (no-op on wide inputs)
+    docs = ensure_parallelism(docs)
     base = (docs.select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("t"))
             .filter(F.length("t") >= L))  # sequence(1,0) would DESCEND

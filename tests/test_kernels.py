@@ -166,9 +166,10 @@ def test_predictor_roundtrip(data, width):
 
 def test_predictor_scalar_parity():
     # direct port of the reference loop (image_extraction_utils.rs:545-554)
-    data = list(np.random.default_rng(42).integers(0, 256, 24, dtype=np.uint8))
+    data = [int(v) for v in
+            np.random.default_rng(42).integers(0, 256, 24, dtype=np.uint8)]
     width, height = 5, 5  # buffer shorter than w*h → partial row path
-    ref = list(data)
+    ref = list(data)  # Python ints: the += below must not wrap at uint8
     for row in range(height):
         start = row * width
         end = min(start + width, len(ref))
