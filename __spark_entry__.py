@@ -825,6 +825,71 @@ def _chunk_documents_oracle_sql() -> str:
     FROM chunks"""
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): per-(user, session) event
+    count and duration — lag + running-sum windows keyed by user."""
+    from rasterkit_spark.operators import temporal as TP
+    _register(spark, sf_dir)
+    return TP.sessionize(spark.table("events"), gap_sec=1800)
+
+
+_EVENT_SESSIONS_ORACLE = """
+    WITH o AS (SELECT user_id, event_id,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+    l AS (SELECT *, LAG(es) OVER (PARTITION BY user_id
+                                  ORDER BY es, event_id) AS pes FROM o),
+    f AS (SELECT *, CASE WHEN pes IS NULL OR es - pes > 1800
+                         THEN 1 ELSE 0 END AS ns FROM l),
+    s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_seq FROM f)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_sec
+    FROM s GROUP BY user_id, session_seq"""
+
+
+def _q_asof_funnel(spark, sf_dir):
+    """Backward as-of join: each click matched to the user's latest
+    purchase at or before it (union + per-key carry-forward window —
+    one key shuffle, no range-join candidate explosion)."""
+    from pyspark.sql import functions as F_
+    from rasterkit_spark.operators import temporal as TP
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    es = F_.unix_timestamp("ts").cast("long").alias("ts_sec")
+    clicks = ev.filter("event_type = 'click'") \
+        .select("event_id", "user_id", es)
+    purchases = ev.filter("event_type = 'purchase'") \
+        .select("event_id", "user_id", es)
+    out = TP.asof_join(clicks, purchases, "user_id", "ts_sec",
+                       ("event_id",))
+    return out.select(
+        "event_id", "user_id", "ts_sec",
+        F_.coalesce("asof_event_id", F_.lit(-1)).cast("long")
+          .alias("asof_event_id"),
+        F_.coalesce("asof_ts_sec", F_.lit(-1)).cast("long")
+          .alias("asof_ts_sec"))
+
+
+#: oracle uses DuckDB's NATIVE ASOF LEFT JOIN — an independent
+#: implementation of the same point-in-time semantics, so the union+window
+#: engine pattern is checked against a second algorithm, not a replay
+_ASOF_FUNNEL_ORACLE = """
+    WITH c AS (SELECT event_id, user_id,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+                 MAX(event_id) AS pid
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, CAST(FLOOR(epoch(ts)) AS BIGINT))
+    SELECT c.event_id, c.user_id, c.ts_sec,
+           COALESCE(p.pid, -1) AS asof_event_id,
+           COALESCE(p.ts_sec, -1) AS asof_ts_sec
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_sec >= p.ts_sec"""
+
+
 def _q_lang(spark, sf_dir):
     from rasterkit_spark.operators import text as TX
     _register(spark, sf_dir)
@@ -1257,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zonal_stats_raster"] = _q_zonal_raster
     q["rgb_minmax"] = _q_rgb_minmax
     q["extract_lod"] = _q_extract_lod
+    q["event_sessions"] = _q_event_sessions
+    q["asof_funnel"] = _q_asof_funnel
     q["events_tumbling_window"] = _sql_query("""
         SELECT CAST(FLOOR(CAST(unix_timestamp(ts) AS DOUBLE) / 300) AS BIGINT) AS win,
                event_type, COUNT(*) AS n,
@@ -1676,6 +1743,8 @@ def oracle_sql() -> dict[str, str]:
     o["shared_spans"] = _shared_spans_oracle_sql()
     o["contamination_check"] = _contamination_oracle_sql()
     o["chunk_documents"] = _chunk_documents_oracle_sql()
+    o["event_sessions"] = _EVENT_SESSIONS_ORACLE
+    o["asof_funnel"] = _ASOF_FUNNEL_ORACLE
     o["embedding_dups"] = _embedding_dups_oracle_sql()
     o["embedding_dups_planted"] = _embedding_dups_oracle_sql(
         source=_PLANTED_DUCK)
