@@ -825,6 +825,30 @@ def _chunk_documents_oracle_sql() -> str:
     FROM chunks"""
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """Per-source corpus profile: counts, token totals, exact
+    mean/p50/p90 doc-length stats (Spark percentile ≡ DuckDB
+    quantile_cont on integer inputs — both interpolate in float64)."""
+    from rasterkit_spark.operators import text as TX
+    _register(spark, sf_dir)
+    return TX.corpus_stats(spark.table("documents"))
+
+
+_CORPUS_STATS_ORACLE = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE LENGTH(TRIM(text))
+                              - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1
+                    END) AS BIGINT) AS total_words,
+           CAST(FLOOR(AVG(LENGTH(text)) * 1000000.0) AS BIGINT)
+               AS avg_chars_e6,
+           CAST(FLOOR(quantile_cont(LENGTH(text), 0.5) * 1000000.0)
+                AS BIGINT) AS p50_chars_e6,
+           CAST(FLOOR(quantile_cont(LENGTH(text), 0.9) * 1000000.0)
+                AS BIGINT) AS p90_chars_e6
+    FROM documents GROUP BY source"""
+
+
 def _q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gap): per-(user, session) event
     count and duration — lag + running-sum windows keyed by user."""
@@ -1322,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zonal_stats_raster"] = _q_zonal_raster
     q["rgb_minmax"] = _q_rgb_minmax
     q["extract_lod"] = _q_extract_lod
+    q["corpus_stats"] = _q_corpus_stats
     q["event_sessions"] = _q_event_sessions
     q["asof_funnel"] = _q_asof_funnel
     q["events_tumbling_window"] = _sql_query("""
@@ -1743,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
     o["shared_spans"] = _shared_spans_oracle_sql()
     o["contamination_check"] = _contamination_oracle_sql()
     o["chunk_documents"] = _chunk_documents_oracle_sql()
+    o["corpus_stats"] = _CORPUS_STATS_ORACLE
     o["event_sessions"] = _EVENT_SESSIONS_ORACLE
     o["asof_funnel"] = _ASOF_FUNNEL_ORACLE
     o["embedding_dups"] = _embedding_dups_oracle_sql()

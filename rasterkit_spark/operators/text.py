@@ -273,3 +273,30 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
         F.size(F.split(F.col("chunk_text"), " ")))
     return out.select(id_col, F.col("chunk_id").cast("long"),
                       "chunk_text", n_words.cast("long").alias("n_words"))
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text",
+                 stratum_col: str = "source") -> DataFrame:
+    """Per-source corpus profile — the "know your data" report every
+    mixture decision starts from: doc count, total whitespace tokens,
+    and the mean/p50/p90 of doc length in chars (×1e6-floored).
+
+    percentile() is Spark's EXACT linear-interpolated percentile, which
+    matches DuckDB's quantile_cont bit-for-bit on integer inputs (both
+    sort and interpolate in float64 — verified, not assumed).  One
+    map-side-combinable groupBy; the exact percentile keeps per-group
+    value lists, so group count must be small relative to rows (true for
+    source strata); at extreme cardinality swap in percentile_approx."""
+    t = F.col(text_col)
+    return (docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws_token_count(t)).alias("total_words"),
+        F.floor(F.avg(F.length(t)) * 1e6).cast("long")
+         .alias("avg_chars_e6"),
+        F.floor(F.expr(f"percentile(length({text_col}), 0.5)") * 1e6)
+         .cast("long").alias("p50_chars_e6"),
+        F.floor(F.expr(f"percentile(length({text_col}), 0.9)") * 1e6)
+         .cast("long").alias("p90_chars_e6"))
+        .select(stratum_col, F.col("n_docs").cast("long"),
+                F.col("total_words").cast("long"),
+                "avg_chars_e6", "p50_chars_e6", "p90_chars_e6"))

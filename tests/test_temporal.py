@@ -58,3 +58,17 @@ def test_asof_join_payloadless_carries_ts(spark):
         [dict(k=1, ts_sec=4), dict(k=1, ts_sec=7)]))
     got = TP.asof_join(left, right, "k", "ts_sec").toPandas()
     assert got.iloc[0].asof_ts_sec == 7
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    from rasterkit_spark.operators import text as TX
+    docs = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id=i, source="s0", text="w " * i + "w")    # lengths vary
+        for i in range(1, 6)] + [
+        dict(doc_id=10, source="s1", text="")]))
+    got = TX.corpus_stats(docs).toPandas().set_index("source")
+    assert got.loc["s0"].n_docs == 5
+    assert got.loc["s0"].total_words == sum(i + 1 for i in range(1, 6))
+    # lengths: 2i+1 chars for i=1..5 → [3,5,7,9,11]; p50 = 7
+    assert got.loc["s0"].p50_chars_e6 == 7_000_000
+    assert got.loc["s1"].total_words == 0
