@@ -734,7 +734,7 @@ def _repetition_oracle_sql() -> str:
                        COUNT(*) AS uniq_3grams
                 FROM g3c GROUP BY doc_id),
     fr AS (
-        SELECT b.doc_id,
+        SELECT b.doc_id, w.total_words,
                CAST(FLOOR(CAST(w.top_word_cnt AS DOUBLE) * 1000000.0
                           / w.total_words) AS BIGINT) AS top_word_frac_e6,
                CAST(FLOOR(LEAST(CAST(t.top2_cnt * t.top2_len AS DOUBLE)
@@ -748,9 +748,10 @@ def _repetition_oracle_sql() -> str:
         JOIN top2 t USING (doc_id) JOIN g3stats g USING (doc_id))
     SELECT doc_id, top_word_frac_e6, top_2gram_chars_frac_e6,
            dup_3gram_frac_e6,
-           CAST(top_word_frac_e6 > 200000
-                OR top_2gram_chars_frac_e6 > 200000
-                OR dup_3gram_frac_e6 > 300000 AS BIGINT) AS repetition_flag
+           CAST((top_word_frac_e6 > 200000
+                 OR top_2gram_chars_frac_e6 > 200000
+                 OR dup_3gram_frac_e6 > 300000)
+                AND total_words >= 10 AS BIGINT) AS repetition_flag
     FROM fr"""
 
 

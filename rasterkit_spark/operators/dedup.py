@@ -40,13 +40,20 @@ def shingles(text: Column, n: int = 5) -> Column:
                        lambda i: F.substring(text, i, n))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (split on single spaces, portable)."""
-    words = F.split(F.trim(text), " ")
+def word_shingles_from_array(words: Column, n: int) -> Column:
+    """Word n-grams from an already-split word array.  THE single
+    definition of the gram rule (short docs yield one partial gram) —
+    every oracle SQL replays exactly this, so any change here must land
+    in the replays too; keeping one copy makes that a one-site edit."""
     count = F.greatest(F.size(words) - (n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), count - 1),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (split on single spaces, portable)."""
+    return word_shingles_from_array(F.split(F.trim(text), " "), n)
 
 
 # ---------------------------------------------------------------------------
@@ -121,26 +128,28 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     localCheckpoint-ed: iterative self-referencing plans otherwise grow an
     unbounded lineage that re-executes from round 0 on any recompute.
 
-    Convergence: stop when the edge multiset is a stable star forest
-    (round leaves edge count AND per-component sums unchanged).  Raises
-    after ``max_iter`` rounds — for n nodes log₂²(n) rounds suffice, so
-    25 covers any physically storable graph.
+    Convergence: stop when a round leaves the edge set EXACTLY unchanged
+    (count equal + ``exceptAll`` empty — a star forest is the fixed point
+    of the round; aggregate signatures like sum(u)/sum(v) can collide
+    between different edge sets and would break silently).  Raises after
+    ``max_iter`` rounds — for n nodes log₂²(n) rounds suffice, so 25
+    covers any physically storable graph.
+
+    Ids keep their NATIVE type (long, string, …) — the algorithm only
+    needs the column's total order, and a silent cast would turn string
+    ids into NULLs and an empty (not failed) result.
     """
-    e = (pairs.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
+    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u") != F.col("v"))
          .dropDuplicates(["u", "v"]))
     e = e.localCheckpoint(eager=True)
-    prev_sig = None
+    prev, prev_count = None, -1
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = e.agg(F.count("*").alias("n"),
-                    F.sum("u").alias("su"),
-                    F.sum("v").alias("sv")).first()
-        sig = (sig["n"], sig["su"], sig["sv"])
-        if sig == prev_sig:
+        n = e.count()
+        if n == prev_count and e.exceptAll(prev).count() == 0:
             break
-        prev_sig = sig
+        prev, prev_count = e, n
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
@@ -162,7 +171,7 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     the rest.  Sizes come from a groupBy on cluster_id (one shuffle),
     never a window over the whole corpus."""
     cc = connected_components(pairs, src=src, dst=dst)
-    ids = docs.select(F.col(id_col).cast("long").alias("node"))
+    ids = docs.select(F.col(id_col).alias("node"))
     labeled = (ids.join(cc, "node", "left")
                .select(F.col("node").alias(id_col),
                        F.coalesce("component", "node").alias("cluster_id")))

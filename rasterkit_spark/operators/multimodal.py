@@ -116,7 +116,13 @@ def _try_jpeg(blob: bytes):
         return None
     try:
         px, meta = JC.read_jpeg(blob)
-    except (JC.JpegError, IndexError, struct.error):
+    except (ValueError, KeyError, IndexError, OverflowError, struct.error):
+        # decode-shaped failures on JPEG-shaped-but-malformed bytes:
+        # JpegError (a ValueError), missing DQT/DHT table ids (KeyError,
+        # e.g. MJPEG frames that legitimately omit tables), truncated
+        # streams (IndexError / struct.error / frombuffer ValueError),
+        # corrupt DC chains overflowing int32 (OverflowError).  Unexpected
+        # errors (MemoryError, I/O) propagate — same policy as _try_tiff.
         return None
     return meta["width"], meta["height"], meta["channels"], px
 
@@ -160,7 +166,13 @@ def decode_image_meta(media: DataFrame, blob_col: str = "blob",
                         "for the deterministic fake-decode path")
                 if len(blob) >= 8:
                     w, h = struct.unpack("<II", blob[:8])
-                    rows.append((r.media_ref, int(w), int(h), 1, 0))
+                    # arbitrary non-fixture bytes can parse to u32 values
+                    # past int32 (Arrow overflow → task death); out-of-
+                    # range headers are decode failures, not dimensions
+                    if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+                        w = h = 0
+                    rows.append((r.media_ref, int(w), int(h),
+                                 1 if w or h else 0, 0))
                 else:
                     rows.append((r.media_ref, 0, 0, 0, 0))
             yield pd.DataFrame(rows, columns=[f.name for f in

@@ -73,30 +73,33 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
             Window.partitionBy(key_col, ts_col).orderBy(*order)))
         .filter(F.col("_rn") == 1).drop("_rn"))
     lcols = left.columns
+    # the matched right row travels as ONE nullable struct: last(...,
+    # ignorenulls) then skips only missing RIGHT ROWS, never a NULL field
+    # inside the matched row — separate per-column carries would mix the
+    # timestamp of one right row with a stale payload of an older one
+    row_struct = F.struct(F.col(ts_col).cast("long").alias("ts_sec"),
+                          *[F.col(p).alias(p) for p in pay])
+    r_struct_type = r1.select(row_struct.alias("_m")).schema["_m"].dataType
     l_tag = left.select(
         *lcols, F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"asof_{p}")
-          for p in pay],
-        F.lit(None).cast("long").alias("asof_ts_sec"))
+        F.lit(None).cast(r_struct_type).alias("_m"))
     r_tag = r1.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (key_col, ts_col)],
         F.col(key_col), F.col(ts_col).alias(ts_col),
         F.lit(0).alias("_side"),
-        *[F.col(p).alias(f"asof_{p}") for p in pay],
-        F.col(ts_col).cast("long").alias("asof_ts_sec"),
-    ).select(*lcols, "_side", *[f"asof_{p}" for p in pay], "asof_ts_sec")
+        row_struct.alias("_m"),
+    ).select(*lcols, "_side", "_m")
     u = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at the same second (_side 0 < 1):
     # an equal-second right row is visible to the left row — the <= rule
     w = Window.partitionBy(key_col).orderBy(ts_col, "_side") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = F.last("_m", ignorenulls=True).over(w)
     carried = u.select(
         *lcols, "_side",
-        *[F.last(f"asof_{p}", ignorenulls=True).over(w).alias(f"asof_{p}")
-          for p in pay],
-        F.last("asof_ts_sec", ignorenulls=True).over(w)
-         .alias("asof_ts_sec"))
+        *[m[p].alias(f"asof_{p}") for p in pay],
+        m["ts_sec"].alias("asof_ts_sec"))
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if how == "inner":
         out = out.filter(F.col("asof_ts_sec").isNotNull())

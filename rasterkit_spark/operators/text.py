@@ -160,13 +160,19 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 TOP_WORD_FRAC_MAX_E6 = 200_000
 TOP_2GRAM_CHARS_FRAC_MAX_E6 = 200_000
 DUP_3GRAM_FRAC_MAX_E6 = 300_000
+#: docs shorter than this many words never flag: a 1-word doc has
+#: top_word_frac exactly 1.0 by construction — Gopher pairs its
+#: repetition rules with a minimum-length gate for the same reason
+MIN_WORDS_FOR_FLAG = 10
 
 
 def _gram_array(ws: Column, n: int) -> Column:
-    """Word n-grams from an already-split word array (JVM-side HOFs)."""
-    count = F.greatest(F.size(ws) - (n - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(0), count - 1),
-                       lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+    """Word n-grams from an already-split word array — delegates to the
+    single gram-rule definition in :mod:`.dedup` (oracle replays depend
+    on both modules producing identical grams)."""
+    from .dedup import word_shingles_from_array
+
+    return word_shingles_from_array(ws, n)
 
 
 def repetition_signals(docs: DataFrame, text_col: str = "text",
@@ -226,9 +232,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     tw_e6 = F.floor(top_word_frac).cast("long")
     t2_e6 = F.floor(top2_frac).cast("long")
     d3_e6 = F.floor(dup3_frac).cast("long")
-    flag = ((tw_e6 > TOP_WORD_FRAC_MAX_E6)
-            | (t2_e6 > TOP_2GRAM_CHARS_FRAC_MAX_E6)
-            | (d3_e6 > DUP_3GRAM_FRAC_MAX_E6))
+    flag = (((tw_e6 > TOP_WORD_FRAC_MAX_E6)
+             | (t2_e6 > TOP_2GRAM_CHARS_FRAC_MAX_E6)
+             | (d3_e6 > DUP_3GRAM_FRAC_MAX_E6))
+            & (F.col("total_words") >= MIN_WORDS_FOR_FLAG))
     return joined.select(
         id_col,
         tw_e6.alias("top_word_frac_e6"),
@@ -293,10 +300,15 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
         F.sum(ws_token_count(t)).alias("total_words"),
         F.floor(F.avg(F.length(t)) * 1e6).cast("long")
          .alias("avg_chars_e6"),
-        F.floor(F.expr(f"percentile(length({text_col}), 0.5)") * 1e6)
-         .cast("long").alias("p50_chars_e6"),
-        F.floor(F.expr(f"percentile(length({text_col}), 0.9)") * 1e6)
-         .cast("long").alias("p90_chars_e6"))
+        # one percentile() call for both quantiles: the exact percentile
+        # buffers + sorts each group's values once instead of twice
+        F.expr(f"percentile(length({text_col}), array(0.5D, 0.9D))")
+         .alias("_pcts"))
+        .select(stratum_col, "n_docs", "total_words", "avg_chars_e6",
+                F.floor(F.element_at("_pcts", 1) * 1e6).cast("long")
+                 .alias("p50_chars_e6"),
+                F.floor(F.element_at("_pcts", 2) * 1e6).cast("long")
+                 .alias("p90_chars_e6"))
         .select(stratum_col, F.col("n_docs").cast("long"),
                 F.col("total_words").cast("long"),
                 "avg_chars_e6", "p50_chars_e6", "p90_chars_e6"))

@@ -115,7 +115,9 @@ def incremental_extract(docs_stream: DataFrame, catalog: DataFrame,
     and the checkpoint commit) — so each batch writes an OVERWRITE of its
     own ``batch=<id>`` directory, making the replay idempotent.  The batch
     operators are reused unchanged inside foreachBatch; read the sink with
-    ``spark.read.parquet(f"{sink_path}/batch=*")``."""
+    :func:`read_incremental_sink` — it drops the layout-internal ``batch``
+    column and refuses a mixed flat/batch= sink instead of silently
+    reading half of it (a raw ``parquet(f"{sink_path}/batch=*")`` would)."""
     import os as _os
 
     from ..operators import extract as EX

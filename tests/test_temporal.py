@@ -72,3 +72,17 @@ def test_corpus_stats_exact_percentiles(spark):
     # lengths: 2i+1 chars for i=1..5 → [3,5,7,9,11]; p50 = 7
     assert got.loc["s0"].p50_chars_e6 == 7_000_000
     assert got.loc["s1"].total_words == 0
+
+
+def test_asof_join_null_payload_in_matched_row(spark):
+    """The matched right row's NULL payload must come through as NULL —
+    not a stale payload carried from an older right row."""
+    left = spark.createDataFrame(pd.DataFrame(
+        [dict(event_id=1, user_id=1, ts_sec=10)]))
+    right = spark.createDataFrame(
+        [(7, 1, 5), (None, 1, 8)],
+        "payload int, user_id long, ts_sec long")
+    got = TP.asof_join(left, right, "user_id", "ts_sec",
+                       ("payload",)).toPandas()
+    assert got.iloc[0].asof_ts_sec == 8          # matched row is ts=8
+    assert pd.isna(got.iloc[0].asof_payload)     # its payload IS null

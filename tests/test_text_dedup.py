@@ -602,3 +602,47 @@ def test_contamination_check_known_overlap(spark):
     assert got.loc[1].n_hit == 2          # 'alpha beta gamma', 'beta gamma delta'
     assert got.loc[1].overlap_e6 == 500_000
     assert got.loc[2].n_hit == 0 and got.loc[2].overlap_e6 == 0
+
+
+def test_connected_components_string_ids(spark):
+    """Ids keep their native type: string doc ids must cluster, not be
+    silently cast to NULL longs (which returned an empty result)."""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c")], "id_a string, id_b string")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["doc-a", "doc-b", "doc-c", "doc-z"]}))
+    got = DD.dup_clusters(docs, pairs).toPandas().set_index("doc_id")
+    assert got.loc["doc-a"].cluster_id == "doc-a"
+    assert got.loc["doc-c"].cluster_id == "doc-a"
+    assert got.loc["doc-c"].cluster_size == 3
+    assert got.loc["doc-z"].cluster_size == 1
+
+
+def test_repetition_flag_needs_min_length(spark):
+    """A 1-word doc has top_word_frac 1.0 by construction — the flag must
+    not fire below the minimum-length gate (the Gopher pairing)."""
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 1, "text": "hello"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "spam " * 19 + "spam"},   # long AND repetitive
+    ]))
+    got = TX.repetition_signals(docs).toPandas().set_index("doc_id")
+    assert got.loc[1].top_word_frac_e6 == 1_000_000    # signal still reported
+    assert got.loc[1].repetition_flag == 0             # but not flagged
+    assert got.loc[2].repetition_flag == 0
+    assert got.loc[3].repetition_flag == 1
+
+
+def test_multimodal_malformed_jpeg_shaped_blob_no_crash(spark):
+    """SOI+SOF0+SOS with no DHT/DQT (the MJPEG shape) must fall through to
+    the fake path in non-strict mode, not kill the task with KeyError."""
+    import struct as _struct
+    sof = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob = (b"\xFF\xD8"
+            + b"\xFF\xC0" + _struct.pack(">H", 2 + len(sof)) + sof
+            + b"\xFF\xDA" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+            + b"\x12\x34" + b"\xFF\xD9")
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_ref": ["bad"], "blob": [bytearray(blob)]}))
+    got = MM.decode_image_meta(media, strict=False).toPandas()
+    assert got.iloc[0].decode_ok == 0                  # fake path, no crash
