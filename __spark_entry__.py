@@ -826,6 +826,47 @@ def _chunk_documents_oracle_sql() -> str:
     FROM chunks"""
 
 
+#: planted-PII view body — portable SQL (runs verbatim on both engines):
+#: every 7th doc gets a copy carrying an email, an international phone and
+#: an IPv4, so the scrub gate is non-vacuous on the synthetic corpus
+_PII_PLANTED = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 500000 AS doc_id,
+           concat('contact user', CAST(doc_id AS STRING),
+                  '@example.com or call +1202555',
+                  CAST(1000 + doc_id % 1000 AS STRING), ' from 10.0.0.',
+                  CAST(doc_id % 255 AS STRING), ' now') AS text
+    FROM documents WHERE doc_id % 7 = 0"""
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction over a planted view: emails/phones/IPv4 counted on
+    the original text and redacted in fixed order — pure projection."""
+    from rasterkit_spark.operators import text as TX
+    _register(spark, sf_dir)
+    planted = spark.sql(_PII_PLANTED)
+    return TX.pii_scrub(planted)
+
+
+def _pii_scrub_oracle_sql() -> str:
+    from rasterkit_spark.operators.text import (PII_EMAIL_RE, PII_IPV4_RE,
+                                                PII_PHONE_RE)
+    e, p, i = (s.replace("'", "''") for s in
+               (PII_EMAIL_RE, PII_PHONE_RE, PII_IPV4_RE))
+    return f"""
+    WITH planted AS ({_PII_PLANTED})
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{e}', '<EMAIL>', 'g'),
+               '{p}', '<PHONE>', 'g'),
+               '{i}', '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips
+    FROM planted"""
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Per-source corpus profile: counts, token totals, exact
     mean/p50/p90 doc-length stats (Spark percentile ≡ DuckDB
@@ -1348,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rgb_minmax"] = _q_rgb_minmax
     q["extract_lod"] = _q_extract_lod
     q["corpus_stats"] = _q_corpus_stats
+    q["pii_scrub"] = _q_pii_scrub
     q["event_sessions"] = _q_event_sessions
     q["asof_funnel"] = _q_asof_funnel
     q["events_tumbling_window"] = _sql_query("""
@@ -1770,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
     o["contamination_check"] = _contamination_oracle_sql()
     o["chunk_documents"] = _chunk_documents_oracle_sql()
     o["corpus_stats"] = _CORPUS_STATS_ORACLE
+    o["pii_scrub"] = _pii_scrub_oracle_sql()
     o["event_sessions"] = _EVENT_SESSIONS_ORACLE
     o["asof_funnel"] = _ASOF_FUNNEL_ORACLE
     o["embedding_dups"] = _embedding_dups_oracle_sql()

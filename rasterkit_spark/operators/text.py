@@ -312,3 +312,42 @@ def corpus_stats(docs: DataFrame, text_col: str = "text",
         .select(stratum_col, F.col("n_docs").cast("long"),
                 F.col("total_words").cast("long"),
                 "avg_chars_e6", "p50_chars_e6", "p90_chars_e6"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction + counts)
+# ---------------------------------------------------------------------------
+
+#: deliberately simple ASCII patterns that parse identically under Java
+#: regex (Spark) and RE2 (DuckDB) — no lookaround, no unicode classes
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / international phone numbers / IPv4 literals →
+    (doc_id, clean_text, n_emails, n_phones, n_ips).
+
+    The standard pre-release scrub pass.  Counts are taken on the
+    ORIGINAL text (each pattern independently), then redaction applies
+    email → phone → ip in that fixed order, so the output is
+    deterministic.  Detection is intentionally high-precision/ASCII-only
+    (patterns portable between Java regex and RE2); a production pass
+    would chain model-based NER behind this cheap filter.  Pure narrow
+    projection — no shuffle, no UDF."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>"),
+        PII_IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+         .alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long")
+         .alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"))

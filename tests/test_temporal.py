@@ -86,3 +86,25 @@ def test_asof_join_null_payload_in_matched_row(spark):
                        ("payload",)).toPandas()
     assert got.iloc[0].asof_ts_sec == 8          # matched row is ts=8
     assert pd.isna(got.iloc[0].asof_payload)     # its payload IS null
+
+
+def test_pii_scrub_redaction_and_counts(spark):
+    from rasterkit_spark.operators import text as TX
+    docs = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id=1, text="mail a.b+c@x-mail.co.uk or b@y.io, "
+                            "call +4915112345678, host 192.168.001.1 up"),
+        dict(doc_id=2, text="clean text with no pii at all"),
+        dict(doc_id=3, text="not an ip 1234.5.6.7890 and not a phone +12"),
+    ]))
+    got = TX.pii_scrub(docs).toPandas().set_index("doc_id")
+    assert got.loc[1].n_emails == 2
+    assert got.loc[1].n_phones == 1
+    assert got.loc[1].n_ips == 1
+    c = got.loc[1].clean_text
+    assert "<EMAIL>" in c and "<PHONE>" in c and "<IP>" in c
+    assert "@" not in c and "+4915" not in c and "192.168" not in c
+    assert got.loc[2].clean_text == "clean text with no pii at all"
+    assert (got.loc[2][["n_emails", "n_phones", "n_ips"]] == 0).all()
+    # 1234.5.6.7890: the \b-bounded octet pattern must not fire inside
+    # longer digit runs; +12 is below the 7-digit phone floor
+    assert got.loc[3].n_ips == 0 and got.loc[3].n_phones == 0
