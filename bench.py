@@ -363,12 +363,17 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
 
     # ---- dedup over an amplified documents corpus ----
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    amplified = docs.crossJoin(
-        spark.range(6 * heavy).select(F.col("id").alias("rep"))) \
-        .select((F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
-                F.when(F.col("rep") == 0, F.col("text"))
-                 .otherwise(F.concat(F.col("text"), F.lit(" tail"),
-                                     F.col("rep").cast("string"))).alias("text"))
+
+    def _amplify(reps: int):
+        return docs.crossJoin(
+            spark.range(reps).select(F.col("id").alias("rep"))) \
+            .select((F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+                    F.when(F.col("rep") == 0, F.col("text"))
+                     .otherwise(F.concat(F.col("text"), F.lit(" tail"),
+                                         F.col("rep").cast("string")))
+                    .alias("text"))
+
+    amplified = _amplify(6 * heavy)
     n_docs = amplified.count()
     # word shingles: this low-entropy corpus (tiny word vocabulary) gives
     # unrelated docs ~0.7 char-shingle jaccard → the LSH candidate set goes
@@ -397,12 +402,17 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
     pair_graph.unpersist()
 
     # exact shared-substring spans: the amplified corpus's rep copies
-    # share their full base text, so every base doc yields a C(6,2) pair
-    # fan with ~|text|-length anchor runs — the hot-key regime the
-    # max_gram_docs cap is for (uncapped here: the fan is the workload)
+    # share their full base text, so every base doc yields a C(reps,2)
+    # pair fan with ~|text|-length anchor runs — the hot-key regime the
+    # max_gram_docs cap is for (uncapped here: the fan is the workload).
+    # Reps FIXED at 6 regardless of `heavy`: the pair fan is quadratic in
+    # reps (heavy=3 → C(18,2)=153 pairs/base ≈ 10⁸ anchor matches, which
+    # the scaling children's local[2] side cannot finish in budget)
+    span_docs = amplified if heavy == 1 else _amplify(6)
+    n_span_docs = n_docs if heavy == 1 else span_docs.count()
     bench("shared_spans",
-          lambda: _rows(DD.shared_span_pairs(amplified, min_len=40)),
-          units=n_docs)
+          lambda: _rows(DD.shared_span_pairs(span_docs, min_len=40)),
+          units=n_span_docs)
 
     # ---- similarity over an amplified embeddings corpus ----
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
