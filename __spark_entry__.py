@@ -867,6 +867,36 @@ def _pii_scrub_oracle_sql() -> str:
     FROM planted"""
 
 
+def _q_tfidf_keywords(spark, sf_dir):
+    """Top-3 characteristic terms per doc by TF-IDF (broadcast df join +
+    per-doc top-k window; ×1e4 floor so libm ln() ulp drift is absorbed)."""
+    from rasterkit_spark.operators import text as TX
+    _register(spark, sf_dir)
+    return TX.tfidf_keywords(spark.table("documents"), k=3)
+
+
+_TFIDF_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, w AS term FROM (
+            SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS w
+            FROM documents) t WHERE LENGTH(w) > 0),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM words GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE)
+                 * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                      / df.df) AS s
+          FROM tf JOIN df USING (term)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, term) AS rank
+          FROM s)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(FLOOR(s * 10000.0) AS BIGINT) AS tfidf_e4
+    FROM r WHERE rank <= 3"""
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Per-source corpus profile: counts, token totals, exact
     mean/p50/p90 doc-length stats (Spark percentile ≡ DuckDB
@@ -1390,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_lod"] = _q_extract_lod
     q["corpus_stats"] = _q_corpus_stats
     q["pii_scrub"] = _q_pii_scrub
+    q["tfidf_keywords"] = _q_tfidf_keywords
     q["event_sessions"] = _q_event_sessions
     q["asof_funnel"] = _q_asof_funnel
     q["events_tumbling_window"] = _sql_query("""
@@ -1813,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_documents"] = _chunk_documents_oracle_sql()
     o["corpus_stats"] = _CORPUS_STATS_ORACLE
     o["pii_scrub"] = _pii_scrub_oracle_sql()
+    o["tfidf_keywords"] = _TFIDF_ORACLE
     o["event_sessions"] = _EVENT_SESSIONS_ORACLE
     o["asof_funnel"] = _ASOF_FUNNEL_ORACLE
     o["embedding_dups"] = _embedding_dups_oracle_sql()

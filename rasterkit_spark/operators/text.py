@@ -351,3 +351,43 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
         F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long")
          .alias("n_phones"),
         F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per doc by TF-IDF →
+    (doc_id, rank, term, tf, df, tfidf_e6).
+
+    tfidf = tf · ln(N / df) with tf the in-doc term count, df the number
+    of docs containing the term, N the corpus size.  ln() is IEEE-exact
+    for identical double inputs, and ranking breaks ties by score then
+    term, so the result is engine-portable (×1e4-floored score — coarse
+    enough that a 1-ulp libm ln() divergence cannot straddle a floor
+    boundary, per the repo's cross-engine float policy).
+
+    Plan shape: explode → groupBy(doc, term) for tf (map-side partial) →
+    groupBy(term) for df → broadcast-join df onto tf (term vocabulary ≪
+    corpus) → per-doc top-k window.  N comes from a count() action —
+    one cheap job, no collect of data rows."""
+    n_docs = docs.count()
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("term")) \
+        .filter(F.length("term") > 0)
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        id_col, "term", "tf", "df",
+        (F.col("tf").cast("double")
+         * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("s"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, F.col("rank").cast("long"), "term",
+                    F.col("tf").cast("long"), F.col("df").cast("long"),
+                    F.floor(F.col("s") * 1e4).cast("long")
+                     .alias("tfidf_e4")))

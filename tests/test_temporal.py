@@ -108,3 +108,25 @@ def test_pii_scrub_redaction_and_counts(spark):
     # 1234.5.6.7890: the \b-bounded octet pattern must not fire inside
     # longer digit runs; +12 is below the 7-digit phone floor
     assert got.loc[3].n_ips == 0 and got.loc[3].n_phones == 0
+
+
+def test_tfidf_keywords_ranking(spark):
+    from rasterkit_spark.operators import text as TX
+    import math
+    docs = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id=1, text="apple apple banana common"),
+        dict(doc_id=2, text="cherry common"),
+        dict(doc_id=3, text="common plum plum plum"),
+    ]))
+    got = TX.tfidf_keywords(docs, k=2).toPandas()
+    one = got[got.doc_id == 1].sort_values("rank")
+    # apple: tf=2, df=1 → 2·ln(3); banana: 1·ln(3); common: 1·ln(1)=0
+    assert list(one.term) == ["apple", "banana"]
+    assert one.iloc[0].tfidf_e4 == int(math.floor(2 * math.log(3) * 1e4))
+    # 'common' appears in every doc → idf 0: score exactly 0, and never
+    # ranked above any distinguishing term (it can still fill out top-k
+    # for docs with fewer than k distinctive terms, like doc 2)
+    common = got[got.term == "common"]
+    assert (common.tfidf_e4 == 0).all()
+    assert (common["rank"] == 2).all()
+    assert got.groupby("doc_id").size().max() <= 2
