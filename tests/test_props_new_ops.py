@@ -1,0 +1,118 @@
+"""Property tests for the round-4 operators: random inputs vs Python
+brute-force oracles (one Spark job per example is too slow for Hypothesis'
+default profile, so each property runs a handful of seeded random cases)."""
+
+import numpy as np
+import pandas as pd
+
+from rasterkit_spark.operators import dedup as DD
+from rasterkit_spark.operators import temporal as TP
+from rasterkit_spark.operators import text as TX
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(5, 60))
+        m = int(rng.integers(1, 3 * n))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                 for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        want = _uf_components(edges, nodes)
+        got = DD.connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")) \
+            .toPandas().set_index("node")["component"].to_dict()
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_chunking_covers_every_word_exactly(spark):
+    rng = np.random.default_rng(5)
+    rows = [dict(doc_id=i, text=" ".join(
+        f"t{i}_{j}" for j in range(int(rng.integers(1, 150)))))
+        for i in range(12)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    cw, ov = 32, 8
+    got = TX.chunk_documents(docs, chunk_words=cw, overlap=ov).toPandas()
+    for r in rows:
+        words = r["text"].split()
+        chunks = got[got.doc_id == r["doc_id"]].sort_values("chunk_id")
+        covered = set()
+        stride = cw - ov
+        for c in chunks.itertuples():
+            cws = c.chunk_text.split()
+            start = c.chunk_id * stride
+            assert cws == words[start:start + cw]   # exact window content
+            covered.update(range(start, start + len(cws)))
+        assert covered == set(range(len(words)))    # complete, no gaps
+
+
+def test_sessionize_partitions_events(spark):
+    """Sessions partition each user's events: counts sum to the total and
+    session durations never exceed the user's full time range."""
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(23)
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = 0
+        for _ in range(int(rng.integers(1, 40))):
+            t += int(rng.integers(1, 4000))
+            rows.append(dict(event_id=eid, user_id=u,
+                             ts=pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(seconds=t)))
+            eid += 1
+    ev = spark.createDataFrame(pd.DataFrame(rows))
+    got = TP.sessionize(ev, gap_sec=1800).toPandas()
+    per_user = pd.DataFrame(rows).groupby("user_id").size()
+    agg = got.groupby("user_id").n_events.sum()
+    for u in per_user.index:
+        assert agg[u] == per_user[u]
+    # brute-force session count per user
+    for u in range(6):
+        ts = sorted(r["ts"].timestamp() for r in rows if r["user_id"] == u)
+        want_sessions = 1 + sum(1 for a, b in zip(ts, ts[1:])
+                                if b - a > 1800)
+        assert len(got[got.user_id == u]) == want_sessions
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(31)
+    lrows = [dict(event_id=i, user_id=int(rng.integers(0, 5)),
+                  ts_sec=int(rng.integers(0, 300))) for i in range(60)]
+    rrows = [dict(event_id=1000 + i, user_id=int(rng.integers(0, 5)),
+                  ts_sec=int(rng.integers(0, 300))) for i in range(40)]
+    got = TP.asof_join(
+        spark.createDataFrame(pd.DataFrame(lrows)),
+        spark.createDataFrame(pd.DataFrame(rrows)),
+        "user_id", "ts_sec", ("event_id",)).toPandas().set_index("event_id")
+    for l in lrows:
+        cand = [r for r in rrows if r["user_id"] == l["user_id"]
+                and r["ts_sec"] <= l["ts_sec"]]
+        row = got.loc[l["event_id"]]
+        if not cand:
+            assert pd.isna(row.asof_event_id)
+        else:
+            best_ts = max(r["ts_sec"] for r in cand)
+            best_id = max(r["event_id"] for r in cand
+                          if r["ts_sec"] == best_ts)
+            assert row.asof_ts_sec == best_ts
+            assert row.asof_event_id == best_id
