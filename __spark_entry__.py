@@ -884,16 +884,16 @@ _TFIDF_ORACLE = """
            FROM words GROUP BY doc_id, term),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-                 CAST(tf.tf AS DOUBLE)
-                 * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
-                      / df.df) AS s
+                 CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                      * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                           / df.df) * 10000.0) AS BIGINT) AS tfidf_e4
           FROM tf JOIN df USING (term)),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                       ORDER BY s DESC, term) AS rank
+                                       ORDER BY tfidf_e4 DESC, term)
+                    AS rank
           FROM s)
     SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
-           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-           CAST(FLOOR(s * 10000.0) AS BIGINT) AS tfidf_e4
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf_e4
     FROM r WHERE rank <= 3"""
 
 

@@ -365,6 +365,7 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
     def _amplify(reps: int):
+        assert reps <= 100, "rep index must stay below the *100 id stride"
         return docs.crossJoin(
             spark.range(reps).select(F.col("id").alias("rep"))) \
             .select((F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
@@ -416,9 +417,12 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
 
     # ---- similarity over an amplified embeddings corpus ----
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # rep multiplier 1000 > any 60*heavy rep index: *10 aliased ~5/6 of
+    # the amplified vec_ids onto other vectors' ids (duplicate nbr_ids in
+    # the measured top-k) — same collision class fixed in _amplify
     bigemb = emb.crossJoin(
         spark.range(60 * heavy).select(F.col("id").alias("rep"))) \
-        .select((F.col("vec_id") * 10 + F.col("rep")).alias("vec_id"),
+        .select((F.col("vec_id") * 1000 + F.col("rep")).alias("vec_id"),
                 F.transform("embedding",
                             lambda x: x + F.col("rep") * 0.01).alias("embedding"))
     qe = emb.filter("vec_id % 5 = 0") \

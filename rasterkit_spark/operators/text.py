@@ -360,14 +360,16 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
 def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Top-k characteristic terms per doc by TF-IDF →
-    (doc_id, rank, term, tf, df, tfidf_e6).
+    (doc_id, rank, term, tf, df, tfidf_e4).
 
     tfidf = tf · ln(N / df) with tf the in-doc term count, df the number
-    of docs containing the term, N the corpus size.  ln() is IEEE-exact
-    for identical double inputs, and ranking breaks ties by score then
-    term, so the result is engine-portable (×1e4-floored score — coarse
-    enough that a 1-ulp libm ln() divergence cannot straddle a floor
-    boundary, per the repo's cross-engine float policy).
+    of docs containing the term, N the corpus size.  Ranking uses the
+    ×1e4-FLOORED integer score (ties → term asc), never the raw double:
+    mathematically-tied scores reached through different ln() shapes
+    (2·ln(10) vs ln(100)) can order differently across libm
+    implementations, so only the floored integer is portable — the
+    repo's cross-engine float policy applied to ORDER BY, not just
+    output.
 
     Plan shape: explode → groupBy(doc, term) for tf (map-side partial) →
     groupBy(term) for df → broadcast-join df onto tf (term vocabulary ≪
@@ -382,12 +384,13 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         id_col, "term", "tf", "df",
-        (F.col("tf").cast("double")
-         * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("s"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("s"), F.asc("term"))
+        F.floor(F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * 1e4).cast("long").alias("tfidf_e4"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_e4"),
+                                           F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, F.col("rank").cast("long"), "term",
                     F.col("tf").cast("long"), F.col("df").cast("long"),
-                    F.floor(F.col("s") * 1e4).cast("long")
-                     .alias("tfidf_e4")))
+                    "tfidf_e4"))

@@ -646,3 +646,62 @@ def test_multimodal_malformed_jpeg_shaped_blob_no_crash(spark):
         "media_ref": ["bad"], "blob": [bytearray(blob)]}))
     got = MM.decode_image_meta(media, strict=False).toPandas()
     assert got.iloc[0].decode_ok == 0                  # fake path, no crash
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    from rasterkit_spark.operators import text as TX
+    docs = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id=i, source="s0", text="w " * i + "w")    # lengths vary
+        for i in range(1, 6)] + [
+        dict(doc_id=10, source="s1", text="")]))
+    got = TX.corpus_stats(docs).toPandas().set_index("source")
+    assert got.loc["s0"].n_docs == 5
+    assert got.loc["s0"].total_words == sum(i + 1 for i in range(1, 6))
+    # lengths: 2i+1 chars for i=1..5 → [3,5,7,9,11]; p50 = 7
+    assert got.loc["s0"].p50_chars_e6 == 7_000_000
+    assert got.loc["s1"].total_words == 0
+
+
+def test_pii_scrub_redaction_and_counts(spark):
+    from rasterkit_spark.operators import text as TX
+    docs = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id=1, text="mail a.b+c@x-mail.co.uk or b@y.io, "
+                            "call +4915112345678, host 192.168.001.1 up"),
+        dict(doc_id=2, text="clean text with no pii at all"),
+        dict(doc_id=3, text="not an ip 1234.5.6.7890 and not a phone +12"),
+    ]))
+    got = TX.pii_scrub(docs).toPandas().set_index("doc_id")
+    assert got.loc[1].n_emails == 2
+    assert got.loc[1].n_phones == 1
+    assert got.loc[1].n_ips == 1
+    c = got.loc[1].clean_text
+    assert "<EMAIL>" in c and "<PHONE>" in c and "<IP>" in c
+    assert "@" not in c and "+4915" not in c and "192.168" not in c
+    assert got.loc[2].clean_text == "clean text with no pii at all"
+    assert (got.loc[2][["n_emails", "n_phones", "n_ips"]] == 0).all()
+    # 1234.5.6.7890: the \b-bounded octet pattern must not fire inside
+    # longer digit runs; +12 is below the 7-digit phone floor
+    assert got.loc[3].n_ips == 0 and got.loc[3].n_phones == 0
+
+
+def test_tfidf_keywords_ranking(spark):
+    from rasterkit_spark.operators import text as TX
+    import math
+    docs = spark.createDataFrame(pd.DataFrame([
+        dict(doc_id=1, text="apple apple banana common"),
+        dict(doc_id=2, text="cherry common"),
+        dict(doc_id=3, text="common plum plum plum"),
+    ]))
+    got = TX.tfidf_keywords(docs, k=2).toPandas()
+    one = got[got.doc_id == 1].sort_values("rank")
+    # apple: tf=2, df=1 → 2·ln(3); banana: 1·ln(3); common: 1·ln(1)=0
+    assert list(one.term) == ["apple", "banana"]
+    assert one.iloc[0].tfidf_e4 == int(math.floor(2 * math.log(3) * 1e4))
+    # 'common' appears in every doc → idf 0: score exactly 0, and never
+    # ranked above any distinguishing term (it can still fill out top-k
+    # for docs with fewer than k distinctive terms, like doc 2)
+    common = got[got.term == "common"]
+    assert (common.tfidf_e4 == 0).all()
+    assert (common["rank"] == 2).all()
+    assert got.groupby("doc_id").size().max() <= 2
+
