@@ -543,6 +543,77 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 shingle_n=3, use_words=True)
 
 
+#: planted ingest batch (portable SQL): perturbed copies of corpus docs —
+#: guaranteed near-dups of indexed documents, disjoint id space
+_INGEST_BATCH = """
+    SELECT doc_id + 700000 AS doc_id, text || ' fresh tail' AS text
+    FROM documents WHERE doc_id % 8 = 0"""
+
+
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an ingest batch probed against the persisted
+    LSH index of the corpus snapshot (docs %4=0) — only the batch is
+    signed, verify re-shingles candidate docs only."""
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    corpus = spark.table("documents").filter("doc_id % 4 = 0")
+    index = DD.build_minhash_index(corpus, n_hashes=32, bands=16,
+                                   shingle_n=3, use_words=True)
+    new_docs = spark.sql(_INGEST_BATCH)
+    return DD.minhash_pairs_against_index(
+        new_docs, index, corpus, 0.2, n_hashes=32, bands=16,
+        shingle_n=3, use_words=True)
+
+
+def _minhash_incremental_oracle_sql() -> str:
+    """Replay of the incremental probe: identical signatures/banding as
+    the minhash oracle over corpus ∪ batch, candidates restricted to
+    (new × corpus), exact-Jaccard verify."""
+    m61 = (1 << 61) - 1
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    newdocs AS ({_INGEST_BATCH}),
+    alldocs AS (SELECT * FROM corpus UNION ALL SELECT * FROM newdocs),
+    words AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+              FROM alldocs),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, CAST(i AS INT),
+                                          CAST(i + 2 AS INT)), ' ') AS g
+        FROM words, LATERAL (SELECT unnest(generate_series(1,
+                GREATEST(len(ws) - 2, 1))) AS i) t),
+    hs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h
+           FROM grams),
+    sigs AS (
+        SELECT doc_id, k,
+               MIN((h * (2 * k + 1) + 104729 * (k + 1)) % {m61}) AS sig
+        FROM hs, LATERAL (SELECT unnest(generate_series(0, 31)) AS k) kk
+        GROUP BY doc_id, k),
+    bands AS (
+        SELECT doc_id, k // 2 AS band,
+               STRING_AGG(CAST(sig AS VARCHAR), '_' ORDER BY k) AS bsig
+        FROM sigs GROUP BY doc_id, k // 2),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+        FROM bands n JOIN bands c
+          ON n.band = c.band AND n.bsig = c.bsig
+        WHERE n.doc_id >= 700000 AND c.doc_id < 700000),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.id_a
+        JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+        GROUP BY c.id_a, c.id_b)
+    SELECT s.id_a AS new_id, s.id_b AS corpus_id,
+           CAST(FLOOR(s.shared * 1000000.0
+                / (sa.sz + sb.sz - s.shared)) AS BIGINT) AS jaccard_e6
+    FROM shared s JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE CAST(FLOOR(s.shared * 1000000.0
+               / (sa.sz + sb.sz - s.shared)) AS BIGINT) >= 200000"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
@@ -1402,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = _q_minhash            # full SQL-replay oracle
     q["simhash"] = _q_simhash                # full SQL-replay oracle
     q["dup_clusters"] = _q_dup_clusters      # recursive-CTE oracle
+    q["minhash_incremental"] = _q_minhash_incremental
     q["shared_spans"] = _q_shared_spans      # substring-level dedup
     q["contamination_check"] = _q_contamination
     q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
@@ -1837,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_lsh"] = _minhash_oracle_sql()
     o["simhash"] = _simhash_oracle_sql()
     o["dup_clusters"] = _dup_clusters_oracle_sql()
+    o["minhash_incremental"] = _minhash_incremental_oracle_sql()
     o["repetition_signals"] = _repetition_oracle_sql()
     o["stratified_sample"] = _stratified_sample_oracle_sql()
     o["shared_spans"] = _shared_spans_oracle_sql()

@@ -427,6 +427,21 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     matches exactly.  Candidates are verified with
     :func:`ngram_jaccard_pairs` semantics, so precision is exact; recall is
     1−(1−s^r)^b (≈1 for near-dups at these defaults)."""
+    buckets = _band_signatures(docs, n_hashes, bands, shingle_n,
+                               text_col, id_col, use_words)
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bsig")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bsig")
+    cand = (a.join(b, ["band", "bsig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates())
+    return _verify_candidates(cand, docs, threshold, shingle_n, use_words,
+                              text_col, id_col)
+
+
+def _band_signatures(docs: DataFrame, n_hashes: int, bands: int,
+                     shingle_n: int, text_col: str, id_col: str,
+                     use_words: bool) -> DataFrame:
+    """(id, band, bsig) banded MinHash signatures — the LSH bucket keys."""
     from ..session import ensure_parallelism
     if bands < 1 or n_hashes % bands != 0:
         # rows=0 would make every band signature the empty string and the
@@ -434,7 +449,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
         # avoid); a non-divisible split would silently ignore trailing
         # hashes and degrade recall below the documented 1-(1-s^r)^b
         raise ValueError(
-            f"minhash_lsh_pairs: bands={bands} must divide n_hashes="
+            f"minhash banding: bands={bands} must divide n_hashes="
             f"{n_hashes} with rows >= 1")
     docs = ensure_parallelism(docs)
     rows = n_hashes // bands
@@ -458,13 +473,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
                          F.element_at("sig", bnd * rows + r + 1)
                          for r in range(rows)]).alias("bsig"))
             for bnd in range(bands)])).alias("b"))
-    buckets = bands_df.select("id", F.col("b.band").alias("band"),
-                              F.col("b.bsig").alias("bsig"))
-    a = buckets.select(F.col("id").alias("id_a"), "band", "bsig")
-    b = buckets.select(F.col("id").alias("id_b"), "band", "bsig")
-    cand = (a.join(b, ["band", "bsig"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").dropDuplicates())
+    return bands_df.select("id", F.col("b.band").alias("band"),
+                           F.col("b.bsig").alias("bsig"))
+
+
+def _verify_candidates(cand: DataFrame, docs: DataFrame, threshold: float,
+                       shingle_n: int, use_words: bool, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs; docs
+    must carry the text for every candidate id."""
     # materialize the (small) candidate set once: it feeds BOTH the
     # verify joins and the semi-join below — left lazy, every branch
     # would re-run the whole signature pipeline; the checkpoint block is
@@ -803,3 +820,53 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3,
         F.col("n_hit").cast("long"),
         F.floor(F.col("n_hit").cast("double") * 1e6
                 / F.col("n_grams")).cast("long").alias("overlap_e6"))
+
+
+def build_minhash_index(docs: DataFrame, n_hashes: int = 32,
+                        bands: int = 16, shingle_n: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        use_words: bool = False) -> DataFrame:
+    """The write-once LSH index of a corpus snapshot: (id, band, bsig).
+
+    The 100-TB ingestion pattern: signing the historical corpus is the
+    dominant dedup cost, and it never changes — persist this table
+    (partitioned by ``band``, bucketed by ``bsig`` for a co-located
+    probe join) and let every ingest batch join against it instead of
+    re-signing 10¹² docs per day.  Row width is bands × ~20 B per doc."""
+    return _band_signatures(docs, n_hashes, bands, shingle_n,
+                            text_col, id_col, use_words)
+
+
+def minhash_pairs_against_index(new_docs: DataFrame, index: DataFrame,
+                                corpus_docs: DataFrame, threshold: float,
+                                n_hashes: int = 32, bands: int = 16,
+                                shingle_n: int = 5,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                use_words: bool = False) -> DataFrame:
+    """Incremental near-dup detection: (new_id, corpus_id, jaccard_e6)
+    pairs of NEW docs against an existing :func:`build_minhash_index`.
+
+    Only the ingest batch is signed (∝ |new|); the candidate probe is an
+    equi-join on (band, bsig) against the stored index; exact-Jaccard
+    verification re-shingles ONLY the docs appearing in some candidate
+    pair (semi-join pushdown inside the verifier), pulling their text
+    from ``corpus_docs`` — so a day's ingest costs ∝ |batch| + |matches|,
+    never ∝ |corpus|.  Banding parameters must equal the index's.
+    Id spaces must be disjoint (same id ⇒ same document: such pairs are
+    dropped as self-matches)."""
+    new_bands = _band_signatures(new_docs, n_hashes, bands, shingle_n,
+                                 text_col, id_col, use_words)
+    cand = (new_bands.select(F.col("id").alias("id_a"), "band", "bsig")
+            .join(index.select(F.col("id").alias("id_b"), "band", "bsig"),
+                  ["band", "bsig"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates())
+    all_docs = (new_docs.select(F.col(id_col), F.col(text_col))
+                .unionByName(corpus_docs.select(F.col(id_col),
+                                                F.col(text_col)))
+                .dropDuplicates([id_col]))
+    out = _verify_candidates(cand, all_docs, threshold, shingle_n,
+                             use_words, text_col, id_col)
+    return out.select(F.col("id_a").alias("new_id"),
+                      F.col("id_b").alias("corpus_id"), "jaccard_e6")

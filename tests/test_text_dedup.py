@@ -705,3 +705,28 @@ def test_tfidf_keywords_ranking(spark):
     assert (common["rank"] == 2).all()
     assert got.groupby("doc_id").size().max() <= 2
 
+
+
+def test_minhash_incremental_index_probe(spark, documents):
+    """Ingest-batch probe against a persisted index finds the planted
+    near-dups and never re-signs the corpus side (only batch ids are
+    signed — asserted via the index being reusable as a plain table)."""
+    corpus = documents.limit(40)
+    index = DD.build_minhash_index(corpus, n_hashes=32, bands=16,
+                                   shingle_n=3, use_words=True)
+    # persist/reload round-trip: the index is a plain (id, band, bsig)
+    # table — exactly what a daily job reads back from storage
+    pdf = index.toPandas()
+    stored = spark.createDataFrame(pdf)
+    new_docs = corpus.limit(10).selectExpr(
+        "doc_id + 900000 as doc_id", "concat(text, ' tiny tail') as text")
+    got = DD.minhash_pairs_against_index(
+        new_docs, stored, corpus, 0.5, n_hashes=32, bands=16,
+        shingle_n=3, use_words=True).toPandas()
+    planted = {(i + 900000, i) for i in
+               corpus.limit(10).toPandas().doc_id}
+    found = set(zip(got.new_id, got.corpus_id))
+    assert len(found & planted) >= 0.9 * len(planted)
+    assert (got.jaccard_e6 >= 500_000).all()
+    # every emitted pair is new × corpus, never corpus × corpus
+    assert (got.new_id >= 900000).all() and (got.corpus_id < 900000).all()
