@@ -968,6 +968,27 @@ _TFIDF_ORACLE = """
     FROM r WHERE rank <= 3"""
 
 
+def _q_skew_report(spark, sf_dir):
+    """Hot-key diagnostics: top-10 heaviest user_ids in events with row
+    share — the pre-join measurement that decides salting."""
+    from rasterkit_spark.operators import sampling as SP
+    _register(spark, sf_dir)
+    return SP.skew_report(spark.table("events"), "user_id", top_k=10)
+
+
+_SKEW_REPORT_ORACLE = """
+    WITH counts AS (SELECT user_id AS key, COUNT(*) AS cnt
+                    FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(cnt) AS t FROM counts),
+    top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 10)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(CAST(cnt AS DOUBLE) * 1000000.0
+                / (SELECT t FROM tot)) AS BIGINT) AS share_e6,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+               AS rank
+    FROM top"""
+
+
 def _q_corpus_stats(spark, sf_dir):
     """Per-source corpus profile: counts, token totals, exact
     mean/p50/p90 doc-length stats (Spark percentile ≡ DuckDB
@@ -1491,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rgb_minmax"] = _q_rgb_minmax
     q["extract_lod"] = _q_extract_lod
     q["corpus_stats"] = _q_corpus_stats
+    q["skew_report"] = _q_skew_report
     q["pii_scrub"] = _q_pii_scrub
     q["tfidf_keywords"] = _q_tfidf_keywords
     q["event_sessions"] = _q_event_sessions
@@ -1916,6 +1938,7 @@ def oracle_sql() -> dict[str, str]:
     o["contamination_check"] = _contamination_oracle_sql()
     o["chunk_documents"] = _chunk_documents_oracle_sql()
     o["corpus_stats"] = _CORPUS_STATS_ORACLE
+    o["skew_report"] = _SKEW_REPORT_ORACLE
     o["pii_scrub"] = _pii_scrub_oracle_sql()
     o["tfidf_keywords"] = _TFIDF_ORACLE
     o["event_sessions"] = _EVENT_SESSIONS_ORACLE

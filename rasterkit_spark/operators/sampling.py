@@ -14,7 +14,7 @@ DuckDB replay ``('0x' || substr(md5(x), 1, 12))::BIGINT``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: modulus for the uniform bucket — rates are expressed as integer
 #: parts-per-million so cutoffs are exact in both engines
@@ -67,3 +67,31 @@ def split_assign(df: DataFrame, id_col: str = "doc_id",
              .when(bucket < train_ppm + val_ppm, F.lit("val"))
              .otherwise(F.lit("test")))
     return df.withColumn("split", split)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Hot-key diagnostics before a join/groupBy: the ``top_k`` heaviest
+    keys with absolute count and ×1e6-floored share of all rows →
+    (key, cnt, share_e6, rank).
+
+    This is the measurement that decides salting (spatial.add_salt) or
+    AQE skew-join reliance: a key holding >1% of 10¹² rows will dominate
+    one reducer.  Plan shape: map-side-combinable groupBy, then a
+    DISTRIBUTED top-k (orderBy+limit → TakeOrderedAndProject — no global
+    window, no single-partition sort); the total-row count rides along as
+    a sum over the aggregated groups, not a second scan.  The final rank
+    IS an unpartitioned row_number (Spark logs a single-partition WARN),
+    but it runs over the already-limited ``top_k`` rows — bounded by
+    construction, never the key space."""
+    counts = df.groupBy(F.col(key_col).alias("key")) \
+        .agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("t"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    return (top.crossJoin(F.broadcast(total))
+            .select("key", F.col("cnt").cast("long"),
+                    F.floor(F.col("cnt").cast("double") * 1e6
+                            / F.col("t")).cast("long").alias("share_e6"))
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("key"))))
+            .select("key", "cnt", "share_e6",
+                    F.col("rank").cast("long")))

@@ -84,3 +84,15 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert len(three) == 1 and three.iloc[0].n_words == 0
     with pytest.raises(ValueError):
         TX.chunk_documents(docs, chunk_words=10, overlap=10)
+
+
+def test_skew_report_hot_keys(spark):
+    rows = ([("hot",)] * 50 + [("warm",)] * 30 + [("k1",)] * 10
+            + [("k2",)] * 10)
+    df = spark.createDataFrame(rows, "k string")
+    got = SP.skew_report(df, "k", top_k=3).toPandas()
+    assert list(got.sort_values("rank").key) == ["hot", "warm", "k1"]
+    top = got.set_index("key")
+    assert top.loc["hot"].cnt == 50
+    assert top.loc["hot"].share_e6 == 500_000
+    assert top.loc["k1"]["rank"] == 3          # cnt tie with k2 → key asc
