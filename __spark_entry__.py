@@ -735,6 +735,21 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_bands=12, band_planes=6, dim=64)
 
 
+def _q_embedding_dups_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup: the planted perturbed copies probed
+    as an ingest batch against the stored hyperplane index of the base
+    embeddings — only the batch is signed."""
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    corpus = spark.table("embeddings")
+    planted_only = _PLANTED_SPARK.split("UNION ALL")[1]
+    new_vecs = spark.sql(planted_only)
+    index = DD.build_embedding_index(corpus, dim=64)
+    return DD.embedding_dups_against_index(new_vecs, index, corpus, 0.80,
+                                           dim=64)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from rasterkit_spark.operators import similarity as SIM
@@ -1495,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = _q_simhash                # full SQL-replay oracle
     q["dup_clusters"] = _q_dup_clusters      # recursive-CTE oracle
     q["minhash_incremental"] = _q_minhash_incremental
+    q["embedding_dups_incremental"] = _q_embedding_dups_incremental
     q["shared_spans"] = _q_shared_spans      # substring-level dedup
     q["contamination_check"] = _q_contamination
     q["embedding_dups"] = _q_embedding_dups  # inlined-plane SQL oracle
@@ -1710,7 +1726,8 @@ def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
                                threshold: float = 0.80,
                                quant_scale: int = 65536,
                                source: str = "SELECT vec_id, embedding "
-                                             "FROM embeddings") -> str:
+                                             "FROM embeddings",
+                               incremental: bool = False) -> str:
     """SQL replay of the banded hyperplane LSH + exact-cosine dedup.  The
     deterministic ±1 plane weights (md5 of "plane:dim") are computed here
     and inlined as literals — identical to the engine's closure — and the
@@ -1728,6 +1745,10 @@ def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
             f" >= 0 THEN {1 << p} ELSE 0 END)" for p in range(R))
         band_exprs.append(f"({bits})")
     sig_list = ",\n           ".join(band_exprs)
+    CAND_COND = ("a.vec_id >= 1000000 AND b.vec_id < 1000000"
+                 if incremental else "a.vec_id < b.vec_id")
+    out_cols = ("id_a AS new_id, id_b AS corpus_id, cos_e6"
+                if incremental else "id_a, id_b, cos_e6")
     return f"""
     WITH src AS ({source}),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1743,7 +1764,7 @@ def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+          ON a.band = b.band AND a.bsig = b.bsig AND {CAND_COND}),
     scored AS (
         SELECT c.id_a, c.id_b,
                CAST(FLOOR(list_dot_product(ea.v, eb.v)
@@ -1752,7 +1773,7 @@ def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
                     * 1000000.0) AS BIGINT) AS cos_e6
         FROM cand c JOIN e ea ON ea.vec_id = c.id_a
         JOIN e eb ON eb.vec_id = c.id_b)
-    SELECT id_a, id_b, cos_e6 FROM scored
+    SELECT {out_cols} FROM scored
     WHERE cos_e6 >= {int(threshold * 1e6)}"""
 
 
@@ -1932,6 +1953,8 @@ def oracle_sql() -> dict[str, str]:
     o["simhash"] = _simhash_oracle_sql()
     o["dup_clusters"] = _dup_clusters_oracle_sql()
     o["minhash_incremental"] = _minhash_incremental_oracle_sql()
+    o["embedding_dups_incremental"] = _embedding_dups_oracle_sql(
+        source=_PLANTED_DUCK, incremental=True)
     o["repetition_signals"] = _repetition_oracle_sql()
     o["stratified_sample"] = _stratified_sample_oracle_sql()
     o["shared_spans"] = _shared_spans_oracle_sql()

@@ -704,31 +704,12 @@ def hyperplane_weights(n_planes: int, dim: int) -> "np.ndarray":
           for d in range(dim)] for g in range(n_planes)], dtype=np.int64)
 
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding",
-                        n_bands: int = 12, band_planes: int = 6,
-                        dim: int | None = None,
-                        quant_scale: int = 65536) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold — banded hyperplane LSH.
-
-    Candidates: OR-amplified over ``n_bands`` bands of ``band_planes``
-    sign-of-projection bits each — two vectors are candidates iff ALL
-    ``band_planes`` bits agree in AT LEAST ONE band.  Exact cosine then
-    verifies every candidate, so precision is exact; the bands only decide
-    recall.  At the defaults (12×6) a cos=0.8 pair (per-plane collision
-    p = 1 − θ/π ≈ 0.795) survives with 1 − (1 − 0.795⁶)¹² ≈ 0.97.
-
-    Scale: per-band signatures give 2^band_planes buckets per band and the
-    join is candidate-driven — distinct (id_a, id_b) pairs first, vectors
-    fetched only for verification (never an all-pairs within one global
-    bucket).  At corpus scale raise ``band_planes`` (16–20) and ``n_bands``
-    to hold bucket sizes O(1); the defaults target the test corpus.
-
-    Projections run on an integer grid (vectors quantized ×quant_scale,
-    ±1 weights, exact int64 dot) so band signatures are bit-reproducible
-    across engines — no float-summation-order flips near sign boundaries.
-    """
+def _embedding_band_table(embeddings: DataFrame, id_col: str, vec_col: str,
+                          n_bands: int, band_planes: int,
+                          dim: int | None = None,
+                          quant_scale: int = 65536) -> DataFrame:
+    """(id, band, bsig) banded hyperplane signatures — the LSH bucket
+    keys for embedding near-dup search (see embedding_dup_pairs)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -764,8 +745,39 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
     # per vector sketch)
     sig_tbl = e.select("id", band_sigs(F.col("v")).alias("bsigs")) \
         .localCheckpoint(eager=True)
-    bands = sig_tbl.select("id", F.posexplode("bsigs")
-                           .alias("band", "bsig"))
+    return sig_tbl.select("id", F.posexplode("bsigs")
+                          .alias("band", "bsig"))
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        n_bands: int = 12, band_planes: int = 6,
+                        dim: int | None = None,
+                        quant_scale: int = 65536) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold — banded hyperplane LSH.
+
+    Candidates: OR-amplified over ``n_bands`` bands of ``band_planes``
+    sign-of-projection bits each — two vectors are candidates iff ALL
+    ``band_planes`` bits agree in AT LEAST ONE band.  Exact cosine then
+    verifies every candidate, so precision is exact; the bands only decide
+    recall.  At the defaults (12×6) a cos=0.8 pair (per-plane collision
+    p = 1 − θ/π ≈ 0.795) survives with 1 − (1 − 0.795⁶)¹² ≈ 0.97.
+
+    Scale: per-band signatures give 2^band_planes buckets per band and the
+    join is candidate-driven — distinct (id_a, id_b) pairs first, vectors
+    fetched only for verification (never an all-pairs within one global
+    bucket).  At corpus scale raise ``band_planes`` (16–20) and ``n_bands``
+    to hold bucket sizes O(1); the defaults target the test corpus.
+
+    Projections run on an integer grid (vectors quantized ×quant_scale,
+    ±1 weights, exact int64 dot) so band signatures are bit-reproducible
+    across engines — no float-summation-order flips near sign boundaries.
+    """
+    bands = _embedding_band_table(embeddings, id_col, vec_col, n_bands,
+                                  band_planes, dim, quant_scale)
+    e = embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
     a = bands.select(F.col("id").alias("id_a"), "band", "bsig")
     b = bands.select(F.col("id").alias("id_b"), "band", "bsig")
     cand = (a.join(b, ["band", "bsig"])
@@ -870,3 +882,51 @@ def minhash_pairs_against_index(new_docs: DataFrame, index: DataFrame,
                              use_words, text_col, id_col)
     return out.select(F.col("id_a").alias("new_id"),
                       F.col("id_b").alias("corpus_id"), "jaccard_e6")
+
+
+def build_embedding_index(embeddings: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding", n_bands: int = 12,
+                          band_planes: int = 6, dim: int | None = None,
+                          quant_scale: int = 65536) -> DataFrame:
+    """Write-once hyperplane-LSH index of an embedding corpus snapshot:
+    (id, band, bsig) — the vector analog of :func:`build_minhash_index`.
+    Persist partitioned by ``band`` so an ingest batch's probe is a
+    co-located equi-join; ~n_bands × 16 B per vector."""
+    return _embedding_band_table(embeddings, id_col, vec_col, n_bands,
+                                 band_planes, dim, quant_scale)
+
+
+def embedding_dups_against_index(new_vecs: DataFrame, index: DataFrame,
+                                 corpus_vecs: DataFrame, threshold: float,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 n_bands: int = 12, band_planes: int = 6,
+                                 dim: int | None = None,
+                                 quant_scale: int = 65536) -> DataFrame:
+    """Incremental embedding near-dup: (new_id, corpus_id, cos_e6) of an
+    ingest batch against a stored :func:`build_embedding_index`.
+
+    Only the batch is signed; candidates come from the (band, bsig)
+    equi-join against the index; exact cosine verification fetches
+    vectors for candidate ids only (new side from the batch, corpus side
+    from ``corpus_vecs``).  Banding parameters must equal the index's;
+    id spaces must be disjoint (equal ids are dropped as self-matches)."""
+    nb = _embedding_band_table(new_vecs, id_col, vec_col, n_bands,
+                               band_planes, dim, quant_scale)
+    cand = (nb.select(F.col("id").alias("id_a"), "band", "bsig")
+            .join(index.select(F.col("id").alias("id_b"), "band", "bsig"),
+                  ["band", "bsig"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = new_vecs.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("v_a"))
+    vb = corpus_vecs.select(F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("v_b"))
+    score = cos_e6_seq_udf()
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cos_e6",
+                        score(F.col("v_a").cast("array<double>"),
+                              F.col("v_b").cast("array<double>")))
+            .filter(F.col("cos_e6") >= int(threshold * 1e6))
+            .select(F.col("id_a").alias("new_id"),
+                    F.col("id_b").alias("corpus_id"), "cos_e6"))

@@ -730,3 +730,24 @@ def test_minhash_incremental_index_probe(spark, documents):
     assert (got.jaccard_e6 >= 500_000).all()
     # every emitted pair is new × corpus, never corpus × corpus
     assert (got.new_id >= 900000).all() and (got.corpus_id < 900000).all()
+
+
+def test_embedding_index_probe(spark, embeddings):
+    """Ingest-batch probe against a stored embedding index recovers
+    planted near-identical vectors with exact-cosine verification."""
+    corpus = embeddings.limit(100)
+    index = DD.build_embedding_index(corpus, dim=64)
+    stored = spark.createDataFrame(index.toPandas())  # persist round-trip
+    new_vecs = corpus.limit(10).selectExpr(
+        "vec_id + 800000 as vec_id",
+        # zero the first 4 of 64 dims: cos ~ 0.97 vs the original
+        "concat(array(cast(0.0 as float), cast(0.0 as float), "
+        "cast(0.0 as float), cast(0.0 as float)), slice(embedding, 5, 60))"
+        " as embedding")
+    got = DD.embedding_dups_against_index(
+        new_vecs, stored, corpus, 0.8, dim=64).toPandas()
+    planted = {(i + 800000, i) for i in corpus.limit(10).toPandas().vec_id}
+    found = set(zip(got.new_id, got.corpus_id))
+    assert len(found & planted) >= 0.9 * len(planted)
+    assert (got.cos_e6 >= 800_000).all()
+    assert (got.new_id >= 800000).all() and (got.corpus_id < 800000).all()
