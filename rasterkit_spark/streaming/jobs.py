@@ -180,3 +180,36 @@ def dedup_doc_stream(docs_stream: DataFrame, watermark: str = "10 minutes",
             .withWatermark(time_col, watermark)
             .dropDuplicatesWithinWatermark(["text_md5"])
             .select(id_col, time_col, "text_md5", text_col))
+
+
+def near_dup_ingest_stream(docs_stream: DataFrame, index: DataFrame,
+                           corpus: DataFrame, sink_path: str,
+                           checkpoint_path: str, threshold: float = 0.5,
+                           n_hashes: int = 32, bands: int = 16,
+                           shingle_n: int = 3, use_words: bool = True):
+    """Streaming NEAR-dup screening for an ingest feed: every micro-batch
+    is probed against the persisted :func:`~..operators.dedup.build_minhash_index`
+    of the historical corpus via
+    :func:`~..operators.dedup.minhash_pairs_against_index` — the streaming
+    face of the write-once-index pattern (only each batch is signed; the
+    corpus is never re-touched).  Matches land in ``batch=<id>``
+    subdirectories (same idempotent-replay layout as incremental_extract;
+    read with :func:`read_incremental_sink`).  Complements
+    :func:`dedup_doc_stream`, which drops only EXACT repeats."""
+    import os as _os
+
+    from ..operators import dedup as DD
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = DD.minhash_pairs_against_index(
+            batch_df, index, corpus, threshold, n_hashes=n_hashes,
+            bands=bands, shingle_n=shingle_n, use_words=use_words)
+        pairs.write.mode("overwrite").parquet(
+            _os.path.join(sink_path, f"batch={batch_id}"))
+
+    return (docs_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True))

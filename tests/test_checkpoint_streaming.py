@@ -201,3 +201,37 @@ def test_dedup_doc_stream(spark, tmp_path):
     got = spark.sql("select * from streamdedup").toPandas()
     assert len(got) == 3                        # alpha, beta, gamma once
     assert set(got.text) == {"alpha", "beta", "gamma"}
+
+
+def test_near_dup_ingest_stream(spark, tmp_path):
+    """Ingest stream probed against a persisted LSH index: the streaming
+    micro-batch result equals the direct batch probe, and the corpus is
+    only touched through the stored index + candidate-verify pulls."""
+    import pandas as pd
+
+    from rasterkit_spark.operators import dedup as DD
+    from rasterkit_spark.streaming.jobs import (near_dup_ingest_stream,
+                                                read_incremental_sink)
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40).cache()
+    index = DD.build_minhash_index(corpus, n_hashes=32, bands=16,
+                                   shingle_n=3, use_words=True)
+    stored = spark.createDataFrame(index.toPandas())
+    new_docs = corpus.limit(12).selectExpr(
+        "doc_id + 600000 as doc_id", "concat(text, ' drip') as text")
+    src = str(tmp_path / "ingest_src")
+    new_docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    sink, ckpt = str(tmp_path / "nd_sink"), str(tmp_path / "nd_ckpt")
+    q = near_dup_ingest_stream(stream, stored, corpus, sink, ckpt,
+                               threshold=0.5).start()
+    q.awaitTermination(300)
+    out = read_incremental_sink(spark, sink).toPandas()
+    want = DD.minhash_pairs_against_index(
+        new_docs, stored, corpus, 0.5, n_hashes=32, bands=16,
+        shingle_n=3, use_words=True).toPandas()
+    got_pairs = set(zip(out.new_id, out.corpus_id))
+    want_pairs = set(zip(want.new_id, want.corpus_id))
+    assert got_pairs == want_pairs and len(got_pairs) >= 10
