@@ -27,6 +27,7 @@ reassembly.  Everything else is narrow.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -141,6 +142,40 @@ def join_tiles(keys: DataFrame, tiles: DataFrame,
     return k.join(t, ["media_ref", "level", "tile_x", "tile_y"], "inner")
 
 
+#: per-python-worker decode memo: many queries over the same raster hit
+#: the same tiles, and partitioning by query_id places those hits in the
+#: same tasks — without a cache each (query, tile) match re-inflates the
+#: blob (measured: the dominant cost of the COG-regime extract when
+#: |queries| ≫ |tiles|).  Keyed by chunk identity INCLUDING a blob crc
+#: (tile coords alone could collide across overview levels/corpora);
+#: bounded LRU (~cap × chunk bytes, 256×256 u8 → ≤ 32 MB/worker); cached
+#: arrays are frozen read-only — clip_chunk_into only reads its source.
+_DECODE_CACHE: "OrderedDict[tuple, np.ndarray]" = None  # set below
+_DECODE_CACHE_CAP = 512
+
+
+def _decode_chunk_cached(blob: bytes, comp: int, pred: int, cw: int,
+                         ch: int, spp: int, media_ref, tx: int,
+                         ty: int) -> np.ndarray:
+    global _DECODE_CACHE
+    if _DECODE_CACHE is None:
+        from collections import OrderedDict
+        _DECODE_CACHE = OrderedDict()
+    key = (media_ref, tx, ty, comp, pred, cw, ch, spp,
+           len(blob), zlib.crc32(blob))
+    hit = _DECODE_CACHE.get(key)
+    if hit is not None:
+        _DECODE_CACHE.move_to_end(key)
+        return hit
+    chunk = K.decode_chunk(blob, comp, pred, cw, ch, spp)
+    chunk = np.ascontiguousarray(chunk)
+    chunk.flags.writeable = False
+    _DECODE_CACHE[key] = chunk
+    if len(_DECODE_CACHE) > _DECODE_CACHE_CAP:
+        _DECODE_CACHE.popitem(last=False)
+    return chunk
+
+
 def _assemble(pdf: pd.DataFrame, emit_window: bool = True) -> pd.DataFrame:
     """Per-(query_id, media_ref) group: decode every chunk through the shared
     kernels and clip into the output window (C→W1→P1).
@@ -159,7 +194,9 @@ def _assemble(pdf: pd.DataFrame, emit_window: bool = True) -> pd.DataFrame:
     shape = (rh, rw) if spp == 1 else (rh, rw, spp)
     out = np.zeros(shape, dtype=np.uint8)
     for row in pdf.itertuples():
-        chunk = K.decode_chunk(bytes(row.blob), comp, pred, cw, ch, spp)
+        chunk = _decode_chunk_cached(bytes(row.blob), comp, pred, cw, ch,
+                                     spp, first.media_ref,
+                                     int(row.tile_x), int(row.tile_y))
         K.clip_chunk_into(out, chunk, cw, ch,
                           int(row.tile_x) * cw, int(row.tile_y) * ch,
                           rx, ry, rw, rh, spp)
