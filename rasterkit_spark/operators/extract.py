@@ -253,6 +253,34 @@ def _assemble_stream(pdf_iter, emit_window: bool = True):
         yield out
 
 
+#: blob-bytes ceiling for the python-side tile broadcast; above it the
+#: JVM-broadcast join path is used instead (still no blob shuffle)
+MAX_PY_TILE_BROADCAST = 512 * 1024 * 1024
+
+
+def _assemble_stream_lookup(pdf_iter, tile_map, emit_window: bool = True):
+    """Streaming assembly over KEY rows only: blobs come from the
+    python-broadcast tile map (one copy per executor), never through
+    Arrow per matched row.  Keys with no tile (OOB covers, shallow
+    pyramids) are dropped — the inner-join semantics."""
+
+    def with_blobs():
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            blobs = [tile_map.get((m, int(lv), int(tx), int(ty)))
+                     for m, lv, tx, ty in zip(pdf["media_ref"],
+                                              pdf["level"],
+                                              pdf["tile_x"],
+                                              pdf["tile_y"])]
+            out = pdf.assign(blob=blobs)
+            out = out[out["blob"].notna()]
+            if len(out):
+                yield out
+
+    yield from _assemble_stream(with_blobs(), emit_window)
+
+
 def decode_and_clip_mapside(joined_sorted: DataFrame,
                             emit_window: bool = True) -> DataFrame:
     """Map-side window assembly — requires rows already partitioned AND
@@ -304,7 +332,6 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
         regions = resolve_regions(queries, catalog)
     keys = expand_tile_keys(regions, level=level)
     if broadcast_tiles:
-        t = tiles.select("media_ref", "level", "tile_x", "tile_y", "blob")
         # explicit partition count: the key rows are tiny (no blobs yet),
         # so AQE would coalesce the shuffle to ~1 partition by byte size —
         # but the DOWNSTREAM per-row cost (decode+assembly) is huge, and a
@@ -312,6 +339,29 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
         n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
         k = keys.repartition(n_parts, "query_id") \
             .sortWithinPartitions("query_id", "media_ref")
+        t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
+                              "blob").collect()
+        total = sum(len(r["blob"]) for r in t_rows)
+        if total <= MAX_PY_TILE_BROADCAST:
+            # python-side broadcast: the tile bytes cross the wire ONCE
+            # per executor.  A JVM broadcast join would still serialize
+            # the matched blob into EVERY (query, tile) Arrow row headed
+            # for the assembly UDF — |matches| × blob bytes, the actual
+            # dominant cost when queries ≫ tiles (measured: ~2× the whole
+            # big-raster extract wall)
+            bc = keys.sparkSession.sparkContext.broadcast(
+                {(r["media_ref"], int(r["level"]), int(r["tile_x"]),
+                  int(r["tile_y"])): bytes(r["blob"]) for r in t_rows})
+            cols = ["query_id", "media_ref", "level", "region_x",
+                    "region_y", "region_w", "region_h", "chunk_w",
+                    "chunk_h", "compression", "predictor",
+                    "samples_per_pixel", "tile_x", "tile_y",
+                    "new_origin_x", "new_origin_y"]
+            return k.select(*cols).mapInPandas(
+                lambda it: _assemble_stream_lookup(it, bc.value,
+                                                   emit_window),
+                WINDOW_SCHEMA)
+        t = tiles.select("media_ref", "level", "tile_x", "tile_y", "blob")
         joined = k.join(F.broadcast(t),
                         ["media_ref", "level", "tile_x", "tile_y"], "inner")
         return decode_and_clip_mapside(joined, emit_window)

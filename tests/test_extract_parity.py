@@ -401,3 +401,28 @@ def test_null_rps_cadence_any_value():
     cat4 = CP.make_media_catalog(n_media=12, null_rps_every=4)
     strips = cat4[(cat4.media_kind == "raster") & (cat4.tile_w == 0)]
     assert (strips.rows_per_strip == 0).any()
+
+
+def test_extract_python_broadcast_fallback_parity(spark, corpus, sdfs):
+    """Force the python-broadcast path below and the JVM-join fallback
+    above the byte ceiling: identical results either way."""
+    from rasterkit_spark.operators import extract as EX
+    base = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                      sdfs["tiles"]).select(
+        "query_id", "media_ref", "window_sha256").toPandas()
+    old_cap = EX.MAX_PY_TILE_BROADCAST
+    try:
+        EX.MAX_PY_TILE_BROADCAST = 0          # force the JVM-join fallback
+        via_join = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                              sdfs["tiles"], broadcast_tiles=True).select(
+            "query_id", "media_ref", "window_sha256").toPandas()
+    finally:
+        EX.MAX_PY_TILE_BROADCAST = old_cap
+    via_py = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                        sdfs["tiles"], broadcast_tiles=True).select(
+        "query_id", "media_ref", "window_sha256").toPandas()
+    key = ["query_id", "media_ref"]
+    b = base.sort_values(key).reset_index(drop=True)
+    j = via_join.sort_values(key).reset_index(drop=True)
+    p = via_py.sort_values(key).reset_index(drop=True)
+    assert b.equals(j) and b.equals(p)
