@@ -414,6 +414,11 @@ def _zonal_tile_partials(pdf_iter):
     predictor stride and collapse to luma8 before the stats — the
     reference's grayscale-stats semantics (A1 calls ``to_luma8()`` first,
     src/utils/tiff_extraction_utils.rs:41).  Other spp values raise."""
+    # per-worker decode memo (extract._decode_chunk_cached): many zones
+    # overlap the same tile, and the hot-zone replication re-decodes it
+    # once per (zone, tile) row without the cache
+    from .extract import _decode_chunk_cached
+
     for pdf in pdf_iter:
         out = []
         for row in pdf.itertuples():
@@ -423,8 +428,11 @@ def _zonal_tile_partials(pdf_iter):
                 raise ValueError(
                     f"zonal_stats: unsupported samples_per_pixel={spp} "
                     f"for {row.media_ref} (expected 1 or 3)")
-            chunk = K.decode_chunk(bytes(row.blob), int(row.compression),
-                                   int(row.predictor), cw, ch, spp)
+            chunk = _decode_chunk_cached(bytes(row.blob),
+                                         int(row.compression),
+                                         int(row.predictor), cw, ch, spp,
+                                         row.media_ref, int(row.tile_x),
+                                         int(row.tile_y))
             if spp == 3:
                 chunk = K.rgb_to_luma8(chunk.reshape(-1, cw, 3))
             else:
