@@ -289,7 +289,7 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
         # eliminate the left join the way a bare count() lets it (which
         # would skip the decode entirely and time an empty plan)
         out = _sp.zonal_stats(sdfs["zones"], sdfs["media_catalog"],
-                              sdfs["tiles"])
+                              sdfs["tiles"], broadcast_tiles=big)
         row = out.agg(F.count("*"), F.sum("zcount")).first()
         return int(row[0])
 

@@ -402,6 +402,30 @@ _ZONAL_PARTIAL_SCHEMA = StructType([
 ])
 
 
+def _zonal_partials_lookup(pdf_iter, tile_map):
+    """Partials over KEY rows only: blobs come from the python-broadcast
+    tile map (one copy per executor), never through Arrow per matched
+    row — the zonal mirror of extract._assemble_stream_lookup.  Keys
+    with no tile (OOB covers) are dropped: inner-join semantics, and the
+    caller's left join restores the pair with zmin/zmax=-1."""
+
+    def with_blobs():
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            blobs = [tile_map.get((m, int(lv), int(tx), int(ty)))
+                     for m, lv, tx, ty in zip(pdf["media_ref"],
+                                              pdf["level"],
+                                              pdf["tile_x"],
+                                              pdf["tile_y"])]
+            out = pdf.assign(blob=blobs)
+            out = out[out["blob"].notna()]
+            if len(out):
+                yield out
+
+    yield from _zonal_tile_partials(with_blobs())
+
+
 def _zonal_tile_partials(pdf_iter):
     """mapInPandas: one partial (min/max/sum/count of the PIP-masked slice)
     per (zone, raster, tile) row.  No zone×raster window is ever
@@ -520,6 +544,7 @@ def zonal_footprint_pairs(zq: DataFrame, catalog: DataFrame,
 def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
                 cover_res: int = 6,
                 broadcast_keys: bool = True,
+                broadcast_tiles: bool = False,
                 balance: bool = False,
                 on_unplaceable: str = "error") -> DataFrame:
     """min/max/sum/count of raster values per (zone polygon, raster).
@@ -536,6 +561,13 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
     cover equi-join — never zone × raster cartesian) → region on each
     candidate raster (G5/G6 dispatch) → tile-key expansion → tile join →
     per-tile decode + PIP-masked partials → groupBy reduce.
+
+    ``broadcast_tiles=True`` (zones ≫ catalog regime): python-broadcast
+    the tile map and run the partials over key rows only, so each blob
+    crosses the wire once per executor instead of once per matched
+    (zone, tile) row — results are identical (same partials UDF after
+    blob lookup); falls back to a JVM broadcast join above
+    extract.MAX_PY_TILE_BROADCAST blob bytes.
 
     Output contract: one row per candidate pair whose bboxes overlap a
     shared cover cell; pairs whose polygons touch no pixel report
@@ -586,6 +618,49 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
     zr = zq.join(pairs, "query_id")
     regions = EX.resolve_regions(zr, catalog)
     keys = EX.expand_tile_keys(regions)
+    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
+            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
+            "samples_per_pixel", "tile_x", "tile_y", "blob",
+            "origin_x", "origin_y", "pixel_sx", "pixel_sy", "epsg",
+            "poly_xs", "poly_ys"]
+    if broadcast_tiles:
+        # zones ≫ catalog regime (the mirror of extract's broadcast_tiles):
+        # every (zone, tile) matched row would carry the tile blob through
+        # the Arrow boundary — |matches| × blob bytes, the dominant,
+        # memory-bandwidth-bound term when many zones overlap each tile.
+        # Broadcasting the (small-by-contract, ≤MAX_PY_TILE_BROADCAST)
+        # tile map to the python workers ships each blob once per
+        # EXECUTOR instead; only tiny key rows cross Arrow.  Explicit
+        # repartition: key rows are tiny, so AQE would coalesce the
+        # exchange to ~1 partition by byte size and serialize the decode.
+        n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
+        k = keys.repartition(n_parts, "query_id")
+        t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
+                              "blob").collect()
+        total = sum(len(r["blob"]) for r in t_rows)
+        if total <= EX.MAX_PY_TILE_BROADCAST:
+            bc = keys.sparkSession.sparkContext.broadcast(
+                {(r["media_ref"], int(r["level"]), int(r["tile_x"]),
+                  int(r["tile_y"])): bytes(r["blob"]) for r in t_rows})
+            nb_cols = [c for c in cols if c != "blob"] + ["level"]
+            partials = (k.select(*nb_cols)
+                        .withColumnRenamed("query_id", "zone_id")
+                        .mapInPandas(
+                            lambda it: _zonal_partials_lookup(it, bc.value),
+                            _ZONAL_PARTIAL_SCHEMA))
+        else:
+            # too big for a python broadcast: JVM broadcast join (blobs
+            # still never shuffle; they do cross Arrow per matched row)
+            t = tiles.select("media_ref", "level", "tile_x", "tile_y",
+                             "blob")
+            joined = k.join(F.broadcast(t),
+                            ["media_ref", "level", "tile_x", "tile_y"],
+                            "inner")
+            partials = (joined.select(*cols)
+                        .withColumnRenamed("query_id", "zone_id")
+                        .mapInPandas(_zonal_tile_partials,
+                                     _ZONAL_PARTIAL_SCHEMA))
+        return _zonal_finish(partials, regions)
     # the partials stage inherits the tile side's partitioning (stream side
     # of the broadcast join) — a small cached tile table in few partitions
     # would serialize the decode; widen it (no-op on already-wide tables)
@@ -600,14 +675,15 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
         # raster-corpus scale prefer salting the hot media_refs instead.
         n = tiles.sparkSession.sparkContext.defaultParallelism * 4
         joined = joined.repartition(n)
-    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
-            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
-            "samples_per_pixel", "tile_x", "tile_y", "blob",
-            "origin_x", "origin_y", "pixel_sx", "pixel_sy", "epsg",
-            "poly_xs", "poly_ys"]
     partials = (joined.select(*cols)
                 .withColumnRenamed("query_id", "zone_id")
                 .mapInPandas(_zonal_tile_partials, _ZONAL_PARTIAL_SCHEMA))
+    return _zonal_finish(partials, regions)
+
+
+def _zonal_finish(partials: DataFrame, regions: DataFrame) -> DataFrame:
+    """groupBy reduce of per-tile partials + the left join that restores
+    candidate pairs whose polygons touched no pixel (zmin/zmax=-1)."""
     agg = partials.groupBy("zone_id", "media_ref").agg(
         F.min("pmin").alias("zmin"), F.max("pmax").alias("zmax"),
         F.sum("psum").alias("zsum"), F.sum("pcount").alias("zcount"))

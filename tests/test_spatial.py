@@ -277,3 +277,25 @@ def test_zonal_stats_rejects_unplaceable_crs(spark):
         "epsg", F.when(F.col("epsg") == 3857, F.lit(3785))
                  .otherwise(F.col("epsg")))
     SP.zonal_stats(sd["zones"], alias_cat, sd["tiles"])  # must not raise
+
+
+def test_zonal_stats_broadcast_tiles_same_result(spark, corpus, monkeypatch):
+    """The three physical strategies — key-broadcast join (default),
+    python-broadcast tile map, and the JVM-broadcast fallback above the
+    blob-bytes ceiling — must produce identical rows (same partials UDF;
+    only where the blob meets the key differs)."""
+    sdfs = corpus.to_spark(spark, ["zones", "media_catalog", "tiles"])
+    args = (sdfs["zones"], sdfs["media_catalog"], sdfs["tiles"])
+    key = ["zone_id", "media_ref"]
+    base = SP.zonal_stats(*args).toPandas().sort_values(key) \
+        .reset_index(drop=True)
+    assert len(base) > 0
+    py_bc = SP.zonal_stats(*args, broadcast_tiles=True).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, py_bc)
+    # force the JVM-broadcast fallback branch
+    from rasterkit_spark.operators import extract as EX
+    monkeypatch.setattr(EX, "MAX_PY_TILE_BROADCAST", 0)
+    jvm_bc = SP.zonal_stats(*args, broadcast_tiles=True).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, jvm_bc)
