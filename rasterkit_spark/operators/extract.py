@@ -156,12 +156,15 @@ _DECODE_CACHE_CAP = 512
 
 def _decode_chunk_cached(blob: bytes, comp: int, pred: int, cw: int,
                          ch: int, spp: int, media_ref, tx: int,
-                         ty: int) -> np.ndarray:
+                         ty: int, level: int = 0) -> np.ndarray:
     global _DECODE_CACHE
     if _DECODE_CACHE is None:
         from collections import OrderedDict
         _DECODE_CACHE = OrderedDict()
-    key = (media_ref, tx, ty, comp, pred, cw, ch, spp,
+    # level is part of the identity: same-coordinate tiles exist at every
+    # overview level, and relying on (len, crc32) alone to tell them apart
+    # would return the wrong level's pixels on a crc collision (ADVICE r4)
+    key = (media_ref, int(level), tx, ty, comp, pred, cw, ch, spp,
            len(blob), zlib.crc32(blob))
     hit = _DECODE_CACHE.get(key)
     if hit is not None:
@@ -196,7 +199,8 @@ def _assemble(pdf: pd.DataFrame, emit_window: bool = True) -> pd.DataFrame:
     for row in pdf.itertuples():
         chunk = _decode_chunk_cached(bytes(row.blob), comp, pred, cw, ch,
                                      spp, first.media_ref,
-                                     int(row.tile_x), int(row.tile_y))
+                                     int(row.tile_x), int(row.tile_y),
+                                     int(getattr(row, "level", 0) or 0))
         K.clip_chunk_into(out, chunk, cw, ch,
                           int(row.tile_x) * cw, int(row.tile_y) * ch,
                           rx, ry, rw, rh, spp)
@@ -339,10 +343,15 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
         n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
         k = keys.repartition(n_parts, "query_id") \
             .sortWithinPartitions("query_id", "media_ref")
-        t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
-                              "blob").collect()
-        total = sum(len(r["blob"]) for r in t_rows)
+        # size the blobs with a cluster-side aggregate BEFORE any driver
+        # collect: collecting an over-ceiling tile table to *measure* it
+        # would OOM the driver inside the guard itself
+        total = tiles.agg(
+            F.coalesce(F.sum(F.length("blob")), F.lit(0)).alias("b")
+        ).collect()[0]["b"]
         if total <= MAX_PY_TILE_BROADCAST:
+            t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
+                                  "blob").collect()
             # python-side broadcast: the tile bytes cross the wire ONCE
             # per executor.  A JVM broadcast join would still serialize
             # the matched blob into EVERY (query, tile) Arrow row headed

@@ -456,7 +456,8 @@ def _zonal_tile_partials(pdf_iter):
                                          int(row.compression),
                                          int(row.predictor), cw, ch, spp,
                                          row.media_ref, int(row.tile_x),
-                                         int(row.tile_y))
+                                         int(row.tile_y),
+                                         int(getattr(row, "level", 0) or 0))
             if spp == 3:
                 chunk = K.rgb_to_luma8(chunk.reshape(-1, cw, 3))
             else:
@@ -618,9 +619,9 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
     zr = zq.join(pairs, "query_id")
     regions = EX.resolve_regions(zr, catalog)
     keys = EX.expand_tile_keys(regions)
-    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
-            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
-            "samples_per_pixel", "tile_x", "tile_y", "blob",
+    cols = ["query_id", "media_ref", "level", "region_x", "region_y",
+            "region_w", "region_h", "chunk_w", "chunk_h", "compression",
+            "predictor", "samples_per_pixel", "tile_x", "tile_y", "blob",
             "origin_x", "origin_y", "pixel_sx", "pixel_sy", "epsg",
             "poly_xs", "poly_ys"]
     if broadcast_tiles:
@@ -634,15 +635,25 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
         # repartition: key rows are tiny, so AQE would coalesce the
         # exchange to ~1 partition by byte size and serialize the decode.
         n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
-        k = keys.repartition(n_parts, "query_id")
-        t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
-                              "blob").collect()
-        total = sum(len(r["blob"]) for r in t_rows)
+        # balance composes with broadcast_tiles: key rows are blob-free
+        # here, so a round-robin spread of the (zone, tile) work units is
+        # free of blob-shuffle cost — use it instead of the query_id hash
+        # when the caller asked for balancing (was a silent no-op, ADVICE r4)
+        k = keys.repartition(n_parts) if balance \
+            else keys.repartition(n_parts, "query_id")
+        # cluster-side size aggregate BEFORE any collect — measuring an
+        # over-ceiling tile table by collecting it would OOM the driver
+        # inside the guard (ADVICE r4)
+        total = tiles.agg(
+            F.coalesce(F.sum(F.length("blob")), F.lit(0)).alias("b")
+        ).collect()[0]["b"]
         if total <= EX.MAX_PY_TILE_BROADCAST:
+            t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
+                                  "blob").collect()
             bc = keys.sparkSession.sparkContext.broadcast(
                 {(r["media_ref"], int(r["level"]), int(r["tile_x"]),
                   int(r["tile_y"])): bytes(r["blob"]) for r in t_rows})
-            nb_cols = [c for c in cols if c != "blob"] + ["level"]
+            nb_cols = [c for c in cols if c != "blob"]
             partials = (k.select(*nb_cols)
                         .withColumnRenamed("query_id", "zone_id")
                         .mapInPandas(

@@ -258,8 +258,10 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
     is a stable global key.
 
     Stride = chunk_words − overlap; the last window may be shorter and a
-    doc never emits an empty chunk (a doc shorter than one chunk yields
-    exactly one window).  Pure narrow ops: split + sequence + transform +
+    doc shorter than one chunk yields exactly one window.  Edge case: an
+    empty/whitespace-only doc emits ONE chunk with chunk_text='' and
+    n_words=0 (docs are never silently dropped; filter n_words=0 rows
+    downstream if empty chunks are undesired).  Pure narrow ops: split + sequence + transform +
     posexplode — no shuffle, no UDF; at 100 TB this is a flatMap the
     optimizer pipelines into the scan."""
     if not 0 <= overlap < chunk_words:
@@ -372,9 +374,14 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
     output.
 
     Plan shape: explode → groupBy(doc, term) for tf (map-side partial) →
-    groupBy(term) for df → broadcast-join df onto tf (term vocabulary ≪
-    corpus) → per-doc top-k window.  N comes from a count() action —
-    one cheap job, no collect of data rows."""
+    groupBy(term) for df → equi-join df onto tf on term → per-doc top-k
+    window.  The df join is deliberately UNHINTED: a web corpus's
+    vocabulary is itself billions of distinct terms, so a forced
+    broadcast of the df table is an executor/driver OOM at scale, while
+    the unhinted join is a well-distributed hash join on ``term`` that
+    AQE will still turn into a broadcast when df is measured small.
+    N comes from a count() action — one cheap job, no collect of data
+    rows."""
     n_docs = docs.count()
     words = docs.select(
         F.col(id_col),
@@ -382,7 +389,7 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
         .filter(F.length("term") > 0)
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         id_col, "term", "tf", "df",
         F.floor(F.col("tf").cast("double")
                 * F.log(F.lit(float(n_docs)) / F.col("df"))

@@ -426,3 +426,46 @@ def test_extract_python_broadcast_fallback_parity(spark, corpus, sdfs):
     j = via_join.sort_values(key).reset_index(drop=True)
     p = via_py.sort_values(key).reset_index(drop=True)
     assert b.equals(j) and b.equals(p)
+
+
+def test_over_ceiling_guard_never_collects_blobs(spark, corpus, sdfs,
+                                                 monkeypatch):
+    """broadcast_tiles with an over-ceiling tile table must fall back to
+    the JVM-broadcast join WITHOUT ever materializing blob rows on the
+    driver: the size check is a cluster-side aggregate, so the only
+    driver collects carry blob-free rows (ADVICE r4 — the old guard
+    collected the full tile table just to measure it)."""
+    # patch the concrete class (pyspark>=4 routes instances through
+    # sql.classic.dataframe.DataFrame; the abc's method is never bound)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:                            # pyspark 3.x
+        from pyspark.sql import DataFrame
+
+    collected_schemas = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        collected_schemas.append([f.name for f in self.schema.fields])
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    monkeypatch.setattr(EX, "MAX_PY_TILE_BROADCAST", 0)
+    out = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
+                     sdfs["tiles"], broadcast_tiles=True)
+    assert out.count() > 0
+    assert collected_schemas, "guard aggregate should collect one row"
+    assert all("blob" not in cols for cols in collected_schemas), \
+        f"blob rows reached the driver: {collected_schemas}"
+
+    # same contract for the zonal mirror path
+    from rasterkit_spark.operators import spatial as SP
+    zc = CP.build_corpus()
+    zs = {n: spark.createDataFrame(getattr(zc, n))
+          for n in ("zones", "media_catalog", "tiles")}
+    collected_schemas.clear()
+    n = SP.zonal_stats(zs["zones"], zs["media_catalog"], zs["tiles"],
+                       broadcast_tiles=True).count()
+    assert n > 0
+    assert all("blob" not in cols for cols in collected_schemas), \
+        f"zonal blob rows reached the driver: {collected_schemas}"
