@@ -665,12 +665,15 @@ def _q_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shared_spans_oracle_sql() -> str:
-    """Replay: every-position 40-char grams, gram equi-join, islands trick
+    """Replay: every-position 40-char grams folded to the portable 60-bit
+    md5 int (the engine's 8-byte join key), gram equi-join, islands trick
     (pos − row_number per (pair, diag)) for run lengths."""
     return """
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
     grams AS (
-        SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 40) AS g
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(substr(text, CAST(i AS INT), 40)),
+                               1, 15))::BIGINT AS g
         FROM docs, LATERAL (SELECT unnest(generate_series(1,
                 GREATEST(LENGTH(text) - 39, 0))) AS i) t),
     m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,

@@ -203,12 +203,14 @@ def shared_span_pairs(docs: DataFrame, min_len: int = 40,
     islands trick (pos − row_number per (pair, diag) window) — the only
     window is per-(pair, diag), never corpus-wide.
 
-    Scale shape: explode (|text| anchors/doc) → equi-join on the gram →
-    per-pair window + two groupBys.  The join key is a 40-char exact gram;
-    boilerplate grams shared by millions of docs make the classic hot-key
-    blowup, so ``max_gram_docs`` (opt-in, like ngram_jaccard's
-    ``max_doc_freq``) drops grams appearing in more than that many docs —
-    a recall-only cap on spans made ENTIRELY of corpus-wide boilerplate.
+    Scale shape: explode (|text| anchors/doc) → equi-join on the gram's
+    portable 60-bit md5 fold (8-byte shuffle key, ~5× fewer anchor
+    shuffle bytes than the raw L-char string; the DuckDB oracle replays
+    the identical fold) → per-pair window + two groupBys.  Boilerplate
+    grams shared by millions of docs make the classic hot-key blowup, so
+    ``max_gram_docs`` (opt-in, like ngram_jaccard's ``max_doc_freq``)
+    drops grams appearing in more than that many docs — a recall-only cap
+    on spans made ENTIRELY of corpus-wide boilerplate.
     """
     from ..session import ensure_parallelism
 
@@ -220,12 +222,18 @@ def shared_span_pairs(docs: DataFrame, min_len: int = 40,
     base = (docs.select(F.col(id_col).alias("id"),
                         F.col(text_col).alias("t"))
             .filter(F.length("t") >= L))  # sequence(1,0) would DESCEND
+    # join on the 60-bit md5 fold of the gram, not the raw L-char string:
+    # the shuffled key is 8 bytes instead of L (~40) — a 5× cut in anchor
+    # shuffle bytes — and the oracle replays the identical fold, so the
+    # (astronomically unlikely) 60-bit collision is deterministic parity,
+    # not divergence (VERDICT r4 item #7)
     grams = (base.select(
         "id",
         F.explode(F.sequence(F.lit(1), F.length("t") - (L - 1)))
          .alias("pos"), F.col("t"))
-        .select("id", "pos", F.col("t").substr(F.col("pos"),
-                                               F.lit(L)).alias("g")))
+        .select("id", "pos",
+                md5_int(F.col("t").substr(F.col("pos"),
+                                          F.lit(L))).alias("g")))
     if max_gram_docs is not None:
         keep = (grams.groupBy("g")
                 .agg(F.countDistinct("id").alias("df"))

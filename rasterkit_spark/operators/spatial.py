@@ -344,9 +344,14 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         # ONE materialization per round: topk + certificate flag together —
         # done/pending bookkeeping below reads this cache, never re-runs
         # the join (the old stats→broadcast→semi-join shape re-executed the
-        # wide plan 2-3× per round)
+        # wide plan 2-3× per round).  The rank filter runs FIRST so the
+        # kth/certified window scans k rows per query instead of every
+        # candidate (same exchange — Window+Filter preserve the qid_
+        # partitioning), and the cache keeps only result columns, not the
+        # join's coordinate/cell scaffolding.
         scored = (cand.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
+                  .select("qid_", "nbr_id", "rank", "dist")
                   .withColumn("certified", certified)
                   .cache())
         round_caches.append(scored)
@@ -426,6 +431,50 @@ def _zonal_partials_lookup(pdf_iter, tile_map):
     yield from _zonal_tile_partials(with_blobs())
 
 
+#: per-worker memo of the per-TILE CRS-converted pixel-center arrays:
+#: they depend only on (raster, level, tile) geometry — never on the zone —
+#: yet the pre-memo code rebuilt cols/rows + meshgrid + Mercator trig for
+#: every (zone, tile) row.  The r4 scaling bisection pinned zonal's 0.72
+#: two-parallelism efficiency on exactly that allocator+trig traffic.
+#: Bounded LRU: 2 float64 vectors per tile (~4 KB for 256-px tiles).
+_TILE_LL_CACHE: "OrderedDict[tuple, tuple]" = None
+_TILE_LL_CACHE_CAP = 4096
+
+
+def _tile_lonlat(media_ref, level, tx, ty, tx0, ty0, w, h,
+                 ox, oy, psx, psy, epsg):
+    """(lon[w], lat[h]) center arrays for one tile, CRS-converted to 4326.
+    Bit-equal to the meshgrid path: each element is the same float
+    expression ox + (global_px + 0.5)·psx (global int indices are exact
+    in float64), and the WebMercator inverse is separable (lon = f(x),
+    lat = g(y) — kernels.webmercator_to_wgs84)."""
+    global _TILE_LL_CACHE
+    if _TILE_LL_CACHE is None:
+        from collections import OrderedDict
+        _TILE_LL_CACHE = OrderedDict()
+    key = (media_ref, level, tx, ty, ox, oy, psx, psy, epsg)
+    hit = _TILE_LL_CACHE.get(key)
+    if hit is not None:
+        _TILE_LL_CACHE.move_to_end(key)
+        return hit
+    cols = ox + (tx0 + np.arange(w) + 0.5) * psx
+    rows_ = oy - (ty0 + np.arange(h) + 0.5) * psy
+    if epsg in MERC_EPSGS:
+        lon, _ = K.webmercator_to_wgs84(cols, np.zeros(1))
+        _, lat = K.webmercator_to_wgs84(np.zeros(1), rows_)
+    elif epsg == 4326:
+        lon, lat = cols, rows_
+    else:
+        raise ValueError(
+            f"zonal_stats: raster {media_ref} has CRS EPSG:{epsg}, which "
+            f"the 4326-polygon PIP stage cannot place (expected "
+            f"WebMercator or 4326)")
+    _TILE_LL_CACHE[key] = (lon, lat)
+    if len(_TILE_LL_CACHE) > _TILE_LL_CACHE_CAP:
+        _TILE_LL_CACHE.popitem(last=False)
+    return lon, lat
+
+
 def _zonal_tile_partials(pdf_iter):
     """mapInPandas: one partial (min/max/sum/count of the PIP-masked slice)
     per (zone, raster, tile) row.  No zone×raster window is ever
@@ -472,27 +521,20 @@ def _zonal_tile_partials(pdf_iter):
             sub = chunk[gy0 - ty0: gy1 - ty0, gx0 - tx0: gx1 - tx0]
             ox, oy = float(row.origin_x), float(row.origin_y)
             psx, psy = float(row.pixel_sx), float(row.pixel_sy)
-            cols = ox + (gx0 + np.arange(gx1 - gx0) + 0.5) * psx
-            rows_ = oy - (gy0 + np.arange(gy1 - gy0) + 0.5) * psy
-            gx, gy = np.meshgrid(cols, rows_)
-            # polygon is in 4326: convert centers if the raster is
-            # Mercator (any published alias); raw lon/lat only for 4326.
-            # Anything else reaching this stage would compare meter
-            # coordinates against degree polygons (all-outside, silently
-            # wrong stats) — zonal_stats screens those out up front, so
-            # this is a belt-and-braces guard.
-            if int(row.epsg) in MERC_EPSGS:
-                lon, lat = K.webmercator_to_wgs84(gx.ravel(), gy.ravel())
-            elif int(row.epsg) == 4326:
-                lon, lat = gx.ravel(), gy.ravel()
-            else:
-                raise ValueError(
-                    f"zonal_stats: raster {row.media_ref} has CRS "
-                    f"EPSG:{int(row.epsg)}, which the 4326-polygon PIP "
-                    f"stage cannot place (expected WebMercator or 4326)")
-            inside = K.points_in_polygon(
-                lon, lat, np.asarray(row.poly_xs), np.asarray(row.poly_ys)
-            ).reshape(sub.shape)
+            # polygon is in 4326: the per-TILE memo holds the centers
+            # already converted (Mercator aliases or raw 4326; anything
+            # else raises there — comparing meter coordinates against
+            # degree polygons would be silently all-outside).  Slicing by
+            # global pixel index is bit-equal to rebuilding the arrays
+            # for the zone's window.
+            lon_t, lat_t = _tile_lonlat(
+                row.media_ref, int(getattr(row, "level", 0) or 0),
+                int(row.tile_x), int(row.tile_y), tx0, ty0,
+                chunk.shape[1], chunk.shape[0], ox, oy, psx, psy,
+                int(row.epsg))
+            inside = K.points_in_polygon_grid(
+                lon_t[gx0 - tx0: gx1 - tx0], lat_t[gy0 - ty0: gy1 - ty0],
+                np.asarray(row.poly_xs), np.asarray(row.poly_ys))
             vals = sub[inside]
             if vals.size:
                 out.append((row.zone_id, row.media_ref, int(vals.min()),

@@ -422,3 +422,33 @@ def test_predictor_stride_partial_row_tail():
     dec = K.undo_horizontal_predictor(short, width, height, spp)
     want = full.reshape(-1)[: len(short)]
     assert dec.tolist() == want.tolist()
+
+
+def test_points_in_polygon_grid_bitwise_parity():
+    """The separable grid kernel must produce the EXACT mask of the flat
+    kernel on the meshgrid of its axes — including degenerate polygons
+    (horizontal edges, repeated vertices, point on edge/vertex rows)."""
+    rng = np.random.default_rng(11)
+    polys = [
+        # convex quad
+        (np.array([0.0, 4.0, 4.0, 0.0]), np.array([0.0, 0.0, 3.0, 3.0])),
+        # concave with a horizontal edge (y1 == y2)
+        (np.array([0.0, 6.0, 6.0, 3.0, 3.0, 0.0]),
+         np.array([0.0, 0.0, 4.0, 4.0, 2.0, 2.0])),
+        # repeated vertex (zero-length edge)
+        (np.array([1.0, 5.0, 5.0, 5.0, 1.0]),
+         np.array([1.0, 1.0, 1.0, 4.0, 4.0])),
+    ]
+    for polyx, polyy in polys:
+        for _ in range(3):
+            gx = np.sort(rng.uniform(-1, 7, size=rng.integers(1, 40)))
+            gy = np.sort(rng.uniform(-1, 5, size=rng.integers(1, 40)))
+            # include exact vertex coordinates in the grid axes
+            gx = np.unique(np.concatenate([gx, polyx]))
+            gy = np.unique(np.concatenate([gy, polyy]))
+            mx, my = np.meshgrid(gx, gy)
+            flat = K.points_in_polygon(mx.ravel(), my.ravel(),
+                                       polyx, polyy).reshape(mx.shape)
+            grid = K.points_in_polygon_grid(gx, gy, polyx, polyy)
+            assert grid.dtype == np.bool_
+            assert np.array_equal(flat, grid)
