@@ -141,6 +141,41 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
     spark.range(0, n_slots * 1000, 1, n_slots * 2) \
         .select(_warm(F.col("id"))).count()
 
+    if os.environ.get("SPARK_GRAFT_BENCH_KNN_BIG") == "1":
+        # compute-bound kNN scaling config (VERDICT r4 item #5): the parity
+        # corpus's knn row (10k queries, ~1 s/round) is scheduler-latency-
+        # bound and proves nothing about the operator's scaling.  Here a
+        # dense frame (600k lineitem points, 37.5k order queries, ~330
+        # candidates/query at res=7 -> ~12M scored rows) makes the
+        # per-round candidate scoring (the window sort) the dominant
+        # stage.  Base tables pre-repartitioned to a fixed width so both
+        # parallelism levels run the identical plan.
+        li = spark.read.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")).repartition(32)
+        pts = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            (((F.col("l_orderkey") * 37 + F.col("l_linenumber")) % 3600)
+             / 10.0 - 180.0 + 0.05).alias("lon"),
+            (((F.col("l_orderkey") * 91 + F.col("l_linenumber")) % 1700)
+             / 10.0 - 85.0 + 0.05).alias("lat")).cache()
+        pts.count()
+        kq = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .repartition(32).filter("o_orderkey % 4 = 0")
+              .select(F.col("o_orderkey").alias("qid"),
+                      (((F.col("o_orderkey") * 53) % 3600) / 10.0
+                       - 180.0 + 0.05).alias("lon"),
+                      (((F.col("o_orderkey") * 17) % 1700) / 10.0
+                       - 85.0 + 0.05).alias("lat")).cache())
+        n_kq = kq.count()
+        bench("knn_join",
+              lambda: _rows(SP.knn_join(pts, kq, 10, point_id="id",
+                                        query_id="qid", x_col="lon",
+                                        y_col="lat", res=7)),
+              units=n_kq)
+        pts.unpersist()
+        kq.unpersist()
+        return results
+
     if big_dedup:
         # compute-bound dedup/similarity config — the 100-TB REGIME, which
         # the parity corpus misrepresents: there, 18 near-replicas per doc

@@ -318,23 +318,38 @@ FRAME_SAMPLE_SCHEMA = StructType([
 def sample_video_frames(media: DataFrame, every_n: int = 10,
                         blob_col: str = "blob",
                         strict: bool = False) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame (the row
-    explosion and batch shape are the real thing; frame bytes are fake
-    4096-byte slices without a video codec wheel)."""
+    """One output row per sampled frame, every ``every_n``-th in stream
+    order.  REAL for MJPEG/AVI containers (io.avicodec walks the RIFF
+    ``movi`` chunks; each emitted frame is the JPEG payload the in-repo
+    io.jpegcodec decodes) — the row explosion, batch shape and
+    partitioning are the production plumbing either way.  Non-AVI blobs:
+    ``strict=True`` raises (other containers need an out-of-repo codec);
+    ``strict=False`` falls back to deterministic fake 4096-byte slices so
+    pipeline plumbing stays testable with arbitrary bytes."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..io import avicodec
+
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
                 blob = bytes(getattr(r, blob_col))
-                if strict:
-                    raise NotImplementedError(
-                        "video decode requires an out-of-container codec; "
-                        "strict=False slices fake frames")
-                n_frames = max(len(blob) // 4096, 1)
-                for i in range(0, n_frames, every_n):
-                    frame = blob[i * 4096:(i + 1) * 4096] or blob[:4096]
-                    rows.append((r.media_ref, i, bytearray(frame)))
+                try:
+                    frames = avicodec.read_mjpeg_frames(blob)
+                except avicodec.AviError:
+                    if strict:
+                        raise NotImplementedError(
+                            "video decode is real only for MJPEG/AVI "
+                            "(io.avicodec); other containers need an "
+                            "out-of-container codec — strict=False "
+                            "slices fake frames for non-AVI blobs")
+                    n_frames = max(len(blob) // 4096, 1)
+                    for i in range(0, n_frames, every_n):
+                        frame = blob[i * 4096:(i + 1) * 4096] or blob[:4096]
+                        rows.append((r.media_ref, i, bytearray(frame)))
+                    continue
+                for i in range(0, len(frames), every_n):
+                    rows.append((r.media_ref, i, bytearray(frames[i])))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               FRAME_SAMPLE_SCHEMA.fields])
 

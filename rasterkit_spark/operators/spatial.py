@@ -412,23 +412,32 @@ def _zonal_partials_lookup(pdf_iter, tile_map):
     tile map (one copy per executor), never through Arrow per matched
     row — the zonal mirror of extract._assemble_stream_lookup.  Keys
     with no tile (OOB covers) are dropped: inner-join semantics, and the
-    caller's left join restores the pair with zmin/zmax=-1."""
+    caller's left join restores the pair with zmin/zmax=-1.
 
-    def with_blobs():
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            blobs = [tile_map.get((m, int(lv), int(tx), int(ty)))
-                     for m, lv, tx, ty in zip(pdf["media_ref"],
-                                              pdf["level"],
-                                              pdf["tile_x"],
-                                              pdf["tile_y"])]
-            out = pdf.assign(blob=blobs)
-            out = out[out["blob"].notna()]
-            if len(out):
-                yield out
+    The DECODED chunk is fetched by TILE KEY through a per-task memo —
+    the blob bytes are touched once per (task, tile), never per row.
+    The earlier shape assigned the blob into the pandas frame and
+    re-copied + re-crc'd it per (zone, tile) row: with zones ≫ tiles
+    that is |rows| × blob-size of pure memory traffic, measured as a
+    ~5 s parallelism-independent wall on the big-raster config (the bus
+    saturates — stream ceiling ~0.27 — so it cannot scale)."""
+    from .extract import _decode_chunk_cached
+    local: dict = {}
 
-    yield from _zonal_tile_partials(with_blobs())
+    def get_chunk(row, comp, pred, cw, ch_, spp):
+        key = (row.media_ref, int(getattr(row, "level", 0) or 0),
+               int(row.tile_x), int(row.tile_y))
+        chunk = local.get(key)
+        if chunk is None:
+            blob = tile_map.get(key)
+            if blob is None:
+                return None          # OOB cover: inner-join semantics
+            chunk = _decode_chunk_cached(blob, comp, pred, cw, ch_, spp,
+                                         key[0], key[2], key[3], key[1])
+            local[key] = chunk
+        return chunk
+
+    yield from _zonal_tile_partials(pdf_iter, get_chunk)
 
 
 #: per-worker memo of the per-TILE CRS-converted pixel-center arrays:
@@ -475,7 +484,7 @@ def _tile_lonlat(media_ref, level, tx, ty, tx0, ty0, w, h,
     return lon, lat
 
 
-def _zonal_tile_partials(pdf_iter):
+def _zonal_tile_partials(pdf_iter, chunk_getter=None):
     """mapInPandas: one partial (min/max/sum/count of the PIP-masked slice)
     per (zone, raster, tile) row.  No zone×raster window is ever
     materialized — peak memory is one decoded chunk — and there is no
@@ -501,12 +510,17 @@ def _zonal_tile_partials(pdf_iter):
                 raise ValueError(
                     f"zonal_stats: unsupported samples_per_pixel={spp} "
                     f"for {row.media_ref} (expected 1 or 3)")
-            chunk = _decode_chunk_cached(bytes(row.blob),
-                                         int(row.compression),
-                                         int(row.predictor), cw, ch, spp,
-                                         row.media_ref, int(row.tile_x),
-                                         int(row.tile_y),
-                                         int(getattr(row, "level", 0) or 0))
+            if chunk_getter is not None:
+                chunk = chunk_getter(row, int(row.compression),
+                                     int(row.predictor), cw, ch, spp)
+                if chunk is None:
+                    continue
+            else:
+                chunk = _decode_chunk_cached(
+                    bytes(row.blob), int(row.compression),
+                    int(row.predictor), cw, ch, spp,
+                    row.media_ref, int(row.tile_x), int(row.tile_y),
+                    int(getattr(row, "level", 0) or 0))
             if spp == 3:
                 chunk = K.rgb_to_luma8(chunk.reshape(-1, cw, 3))
             else:

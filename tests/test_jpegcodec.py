@@ -84,3 +84,54 @@ def test_multimodal_real_jpeg_decode(spark):
     hist, _ = np.histogram(decoded, bins=16, range=(0, 256))
     np.testing.assert_allclose(np.array(feats.loc["g", "feature"]),
                                hist / hist.sum(), rtol=1e-6)
+
+
+def _mjpeg_fixture(n_frames=7, w=48, h=32):
+    """Deterministic MJPEG AVI: each frame a distinct gradient."""
+    from rasterkit_spark.io import avicodec as AC
+    jpegs = []
+    for i in range(n_frames):
+        y, x = np.mgrid[0:h, 0:w]
+        px = ((x * 3 + y * 5 + i * 29) % 256).astype(np.uint8)
+        jpegs.append(JC.write_jpeg(px, quality=90))
+    return AC.write_mjpeg_avi(jpegs, w, h, fps=5), jpegs
+
+
+def test_avi_mjpeg_roundtrip():
+    """write_mjpeg_avi → read_mjpeg_frames returns the EXACT jpeg
+    payloads in stream order (container adds no loss), and each payload
+    decodes through the in-repo JPEG codec to the right shape."""
+    from rasterkit_spark.io import avicodec as AC
+    blob, jpegs = _mjpeg_fixture()
+    got = AC.read_mjpeg_frames(blob)
+    assert got == jpegs
+    px, meta = JC.read_jpeg(got[3])
+    assert px.shape == (32, 48)
+    assert (meta["width"], meta["height"]) == (48, 32)
+
+
+def test_avi_rejects_garbage_and_truncation():
+    from rasterkit_spark.io import avicodec as AC
+    with pytest.raises(AC.AviError):
+        AC.read_mjpeg_frames(b"not an avi at all")
+    blob, _ = _mjpeg_fixture(3)
+    # truncating inside a movi chunk must raise, not return garbage
+    with pytest.raises(AC.AviError):
+        AC.read_mjpeg_frames(blob[:len(blob) // 2])
+
+
+def test_sample_video_frames_real_mjpeg(spark):
+    """strict mode walks a real MJPEG/AVI: frame-count parity with the
+    container (every_n sampling) and byte-exact JPEG payloads."""
+    blob, jpegs = _mjpeg_fixture(7)
+    video = spark.createDataFrame(pd.DataFrame({
+        "media_ref": ["v1"], "blob": [bytearray(blob)]}))
+    out = MM.sample_video_frames(video, every_n=2, strict=True) \
+        .toPandas().sort_values("frame_idx")
+    assert list(out.frame_idx) == [0, 2, 4, 6]
+    assert [bytes(f) for f in out.frame] == [jpegs[i] for i in (0, 2, 4, 6)]
+    # non-AVI + strict still raises (only the MJPEG container is real)
+    junk = spark.createDataFrame(pd.DataFrame({
+        "media_ref": ["vx"], "blob": [bytearray(b"z" * 9000)]}))
+    with pytest.raises(Exception, match="MJPEG/AVI"):
+        MM.sample_video_frames(junk, every_n=2, strict=True).toPandas()

@@ -20,7 +20,9 @@ def run_child(cpus: int, config: str) -> dict:
     if config == "big":
         env["SPARK_GRAFT_BENCH_BIG"] = "1"
     elif config == "dedup":
-        env["SPARK_GRAFT_BENCH_DEDUP"] = "1"
+        env["SPARK_GRAFT_BENCH_DEDUP_BIG"] = "1"
+    elif config == "knn":
+        env["SPARK_GRAFT_BENCH_KNN_BIG"] = "1"
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
                        "--child"], capture_output=True, text=True, env=env,
                        cwd=REPO)
