@@ -224,7 +224,21 @@ def read_jpeg(blob: bytes):
     """Decode a baseline JPEG → (pixels, meta).
 
     pixels: uint8 (h, w) for grayscale, (h, w, 3) RGB for YCbCr;
-    meta: dict(width, height, channels)."""
+    meta: dict(width, height, channels).
+
+    Exception contract: every malformed/truncated/out-of-scope input
+    raises :class:`JpegError` — low-level struct/index failures from
+    damaged streams are wrapped, so direct callers need only one
+    except clause."""
+    try:
+        return _read_jpeg(blob)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        raise JpegError(f"malformed JPEG stream: {e}") from e
+
+
+def _read_jpeg(blob: bytes):
     if len(blob) < 4 or blob[:2] != b"\xFF\xD8":
         raise JpegError("not a JPEG (no SOI)")
     pos = 2
@@ -235,13 +249,28 @@ def read_jpeg(blob: bytes):
     w = h = 0
     restart_interval = 0
     n = len(blob)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if blob[pos] != 0xFF:
             raise JpegError("expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             raise JpegError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn) carry no length segment
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise JpegError("truncated marker segment header")
         seglen = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise JpegError(
+                f"truncated or invalid segment length {seglen} for "
+                f"marker 0xFF{marker:02X} at {pos}")
         seg = blob[pos + 4:pos + 2 + seglen]
         if marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])

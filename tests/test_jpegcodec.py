@@ -135,3 +135,23 @@ def test_sample_video_frames_real_mjpeg(spark):
         "media_ref": ["vx"], "blob": [bytearray(b"z" * 9000)]}))
     with pytest.raises(Exception, match="MJPEG/AVI"):
         MM.sample_video_frames(junk, every_n=2, strict=True).toPandas()
+
+
+def test_jpeg_marker_scan_robustness():
+    """T.81 oddities the strict scan must survive: 0xFF fill bytes before
+    a marker, standalone TEM (0xFF01), and truncation raising JpegError
+    (not struct.error/IndexError) per the documented contract."""
+    px = (np.arange(16 * 16, dtype=np.uint8).reshape(16, 16))
+    blob = JC.write_jpeg(px, quality=80)
+    assert blob[:2] == b"\xff\xd8"
+    # inject fill bytes + a standalone TEM right after SOI
+    padded = blob[:2] + b"\xff\xff\xff" + b"\xff\x01" + blob[2:]
+    out, meta = JC.read_jpeg(padded)
+    base, _ = JC.read_jpeg(blob)
+    assert np.array_equal(out, base)
+    # truncations anywhere must raise JpegError, nothing lower-level
+    for cut in (3, 5, 9, 21, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(JC.JpegError):
+            JC.read_jpeg(blob[:cut])
+    with pytest.raises(JC.JpegError):
+        JC.read_jpeg(b"\xff\xd8\xff\xc0\x00\x03\x08")  # short SOF seg
