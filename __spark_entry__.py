@@ -1444,6 +1444,57 @@ def _doc_media_spans_oracle_sql() -> str:
       AS t(doc_id, pos, media_ref, query_id, window_sha256)"""
 
 
+def _video_fixture():
+    """Deterministic MJPEG/AVI fixtures: 3 videos of 5-7 gradient frames,
+    built from the in-repo JPEG + AVI codecs (pure numpy/stdlib, no
+    SparkSession — the oracle side reuses it)."""
+    import numpy as np
+
+    from rasterkit_spark.io import avicodec as AC
+    from rasterkit_spark.io import jpegcodec as JC
+    vids = []
+    for v in range(3):
+        jpegs = []
+        for i in range(5 + v):
+            y, x = np.mgrid[0:32, 0:48]
+            px = ((x * 3 + y * 7 + i * 31 + v * 11) % 256).astype(np.uint8)
+            jpegs.append(JC.write_jpeg(px, quality=85))
+        vids.append((f"vid{v}", AC.write_mjpeg_avi(jpegs, 48, 32), jpegs))
+    return vids
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path, driver-gated: sample every 2nd frame from
+    real MJPEG/AVI containers (strict mode — the RIFF walk, not the fake
+    fallback) and hash the extracted JPEG payloads.  The oracle hashes
+    the PRE-container frame bytes, so the row set only matches if the
+    container walk returns every sampled frame byte-exactly and the
+    sampling indices are right."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rasterkit_spark.operators import multimodal as MM
+    vids = _video_fixture()
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_ref": [v[0] for v in vids],
+        "blob": [bytearray(v[1]) for v in vids]}))
+    out = MM.sample_video_frames(media, every_n=2, strict=True)
+    return out.select("media_ref",
+                      F.col("frame_idx").cast("long").alias("frame_idx"),
+                      F.sha2(F.col("frame"), 256).alias("frame_sha"))
+
+
+def _video_frames_oracle_sql() -> str:
+    import hashlib
+    rows = []
+    for ref, _, jpegs in _video_fixture():
+        for i in range(0, len(jpegs), 2):
+            rows.append((ref, i, hashlib.sha256(jpegs[i]).hexdigest()))
+    vals = ",\n      ".join(f"('{r}', {i}, '{h}')" for r, i, h in rows)
+    return f"""SELECT * FROM (VALUES
+      {vals}) AS t(media_ref, frame_idx, frame_sha)"""
+
+
 def _q_span_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint invariant, driver-gated: span-sequence equality
     (kind, text, media_ref, order) survives the distributed
@@ -1545,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  event_type""")
     # §2.10 stateful path (applyInPandasWithState), real stream execution
     q["events_stateful_stats"] = _q_events_stateful
+    q["video_frame_sample"] = _q_video_frames
     return _reorder_for_gate(q)
 
 
@@ -1557,6 +1609,7 @@ GATE_PRIORITY = [
     "tfidf_keywords", "event_sessions", "asof_funnel",
     "events_tumbling_window", "events_stateful_stats",
     # round-5 additions (new surface verifies before long-green rows)
+    "video_frame_sample",
 ]
 
 
@@ -2000,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
     o["rgb_minmax"] = _rgb_minmax_oracle_sql()
     o["extract_lod"] = _extract_lod_oracle_sql()
     o["ann_ivf_topk"] = _ann_ivf_oracle_sql()
+    o["video_frame_sample"] = _video_frames_oracle_sql()
     return _reorder_for_gate(o)
 
 
