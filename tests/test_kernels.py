@@ -452,3 +452,10 @@ def test_points_in_polygon_grid_bitwise_parity():
             grid = K.points_in_polygon_grid(gx, gy, polyx, polyy)
             assert grid.dtype == np.bool_
             assert np.array_equal(flat, grid)
+            # non-monotone axis exercises the direct-comparison fallback
+            perm = rng.permutation(len(gx))
+            mx2, my2 = np.meshgrid(gx[perm], gy)
+            flat2 = K.points_in_polygon(mx2.ravel(), my2.ravel(),
+                                        polyx, polyy).reshape(mx2.shape)
+            grid2 = K.points_in_polygon_grid(gx[perm], gy, polyx, polyy)
+            assert np.array_equal(flat2, grid2)
