@@ -1612,10 +1612,22 @@ GATE_PRIORITY = [
     "video_frame_sample",
 ]
 
+#: rows that may rotate OUT of the 50-row window when the registry grows:
+#: single-formula scalar ops, long green in every round AND covered by
+#: direct pytest parity — never the heavyweight operator pipelines
+#: (extract/zonal/dedup/similarity), whose official rows matter most.
+GATE_TAIL = [
+    "mercator_forward", "mercator_roundtrip", "point_radius_bbox",
+    "bbox_to_region", "adjust_tiepoint", "epsg_classify", "grid_cells",
+    "lod_selection", "dedup_sort_last", "range_filter",
+]
+
 
 def _reorder_for_gate(d: dict) -> dict:
     head = {k: d[k] for k in GATE_PRIORITY if k in d}
-    head.update((k, v) for k, v in d.items() if k not in head)
+    head.update((k, v) for k, v in d.items()
+                if k not in head and k not in GATE_TAIL)
+    head.update((k, d[k]) for k in GATE_TAIL if k in d)
     return head
 
 
@@ -2054,6 +2066,9 @@ def oracle_sql() -> dict[str, str]:
     o["extract_lod"] = _extract_lod_oracle_sql()
     o["ann_ivf_topk"] = _ann_ivf_oracle_sql()
     o["video_frame_sample"] = _video_frames_oracle_sql()
+    # align with queries()' registration order exactly, so the harness's
+    # 50-row window is identical whichever dict it iterates
+    o = {k: o[k] for k in queries() if k in o}
     return _reorder_for_gate(o)
 
 
