@@ -16,6 +16,7 @@ def main():
     from pyspark.sql import SparkSession, functions as F
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.driver.memory", "16g")
              .getOrCreate())
     from rasterkit_spark.operators import dedup as DD
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
