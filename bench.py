@@ -260,7 +260,10 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
                     .cast("array<float>").alias("embedding"))
         bigemb = bigemb.cache()
         qe = qe.cache()
-        n_emb = bigemb.count()
+        bigemb = bigemb.cache()   # same stored-table contract as `amplified`
+    qe = qe.cache()
+    n_emb = bigemb.count()
+    qe.count()
         qe.count()
         bench("ann_ivf_topk",
               lambda: _rows(SIM.ivf_topk(bigemb, qe, 10, n_lists=48,
@@ -404,7 +407,11 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
           units=n_kq)
 
     # ---- dedup over an amplified documents corpus ----
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # same one-file-base hazard as the embeddings block below: widen the
+    # base BEFORE _amplify so the text amplification doesn't compute in a
+    # single task
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).repartition(32)
 
     def _amplify(reps: int):
         assert reps <= 100, "rep index must stay below the *100 id stride"
@@ -416,7 +423,13 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
                                          F.col("rep").cast("string")))
                     .alias("text"))
 
-    amplified = _amplify(6 * heavy)
+    # MATERIALIZE the amplified corpus: it stands in for a stored table
+    # (a real pipeline scans parquet, it does not re-generate its corpus
+    # per query), and an uncached lineage re-runs the generator inside
+    # every timed trial — at one-file parallelism that was a serial
+    # ~12-15 s term that flattened the similarity/dedup scaling rows
+    # (measured round 5)
+    amplified = _amplify(6 * heavy).cache()
     n_docs = amplified.count()
     # word shingles: this low-entropy corpus (tiny word vocabulary) gives
     # unrelated docs ~0.7 char-shingle jaccard → the LSH candidate set goes
@@ -451,14 +464,23 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
     # Reps FIXED at 6 regardless of `heavy`: the pair fan is quadratic in
     # reps (heavy=3 → C(18,2)=153 pairs/base ≈ 10⁸ anchor matches, which
     # the scaling children's local[2] side cannot finish in budget)
-    span_docs = amplified if heavy == 1 else _amplify(6)
+    span_docs = amplified if heavy == 1 else _amplify(6).cache()
     n_span_docs = n_docs if heavy == 1 else span_docs.count()
     bench("shared_spans",
           lambda: _rows(DD.shared_span_pairs(span_docs, min_len=40)),
           units=n_span_docs)
 
     # ---- similarity over an amplified embeddings corpus ----
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # pre-partition the one-file base table BEFORE amplification (the
+    # big_dedup config's documented move): embeddings.parquet is a single
+    # file -> one partition, and the crossJoin+transform amplification
+    # inherits it, so WITHOUT this the whole ~360k-vector array transform
+    # computes inside ONE task (~12-15 s serial at ANY core count —
+    # measured round 5; this was the entire reason ann_ivf/cosine parity
+    # scaling read ~flat).  Fixed width so every parallelism level runs
+    # the identical plan.
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")).repartition(32)
     # rep multiplier 1000 > any 60*heavy rep index: *10 aliased ~5/6 of
     # the amplified vec_ids onto other vectors' ids (duplicate nbr_ids in
     # the measured top-k) — same collision class fixed in _amplify
@@ -471,7 +493,10 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
         .crossJoin(spark.range(heavy * 5).select(F.col("id").alias("qr"))) \
         .select((F.col("vec_id") * 1000 + F.col("qr")).alias("qid"),
                 "embedding")
+    bigemb = bigemb.cache()   # same stored-table contract as `amplified`
+    qe = qe.cache()
     n_emb = bigemb.count()
+    qe.count()
     bench("cosine_topk",
           lambda: _rows(SIM.cosine_topk_fast(bigemb, qe, 10)),
           units=n_emb)
