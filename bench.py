@@ -260,10 +260,7 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
                     .cast("array<float>").alias("embedding"))
         bigemb = bigemb.cache()
         qe = qe.cache()
-        bigemb = bigemb.cache()   # same stored-table contract as `amplified`
-    qe = qe.cache()
-    n_emb = bigemb.count()
-    qe.count()
+        n_emb = bigemb.count()
         qe.count()
         bench("ann_ivf_topk",
               lambda: _rows(SIM.ivf_topk(bigemb, qe, 10, n_lists=48,
