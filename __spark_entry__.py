@@ -731,6 +731,92 @@ def _contamination_oracle_sql() -> str:
     FROM agg"""
 
 
+def _q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decontamination slices as `contamination_check`, through the
+    broadcast-Bloom-prefilter plan (identical output by construction —
+    the bitmap only prunes the exact join's left side; the gate proves
+    the prefilter drops no true hit and the totals are pre-filter)."""
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id % 9 != 0")
+    benchmark = spark.table("documents").filter("doc_id % 9 = 0")
+    return DD.contamination_check_bloom(docs, benchmark, n=3,
+                                        m_bits=1 << 20)
+
+
+def _q_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide block dedup with doc reassembly.  4-word
+    blocks at gate scale so the corpus has real cross-doc repeats
+    (~430 dropped blocks of 6,974 at sf0.01 — non-vacuous)."""
+    from rasterkit_spark.operators import dedup as DD
+    _register(spark, sf_dir)
+    return DD.dedup_blocks(spark.table("documents"), block_words=4)
+
+
+def _dedup_blocks_oracle_sql() -> str:
+    """Replay: same trim/split 4-word blocks, same 60-bit md5 fold,
+    first-occurrence = ROW_NUMBER() OVER (PARTITION BY hash ORDER BY
+    doc_id, block_idx) = 1 — the same lexicographic winner as the
+    engine's min(struct(doc_id, block_idx))."""
+    return """
+    WITH w AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+               FROM documents),
+    b AS (SELECT doc_id, i - 1 AS block_idx,
+                 array_to_string(list_slice(ws, CAST((i-1)*4 + 1 AS INT),
+                                            CAST((i-1)*4 + 4 AS INT)),
+                                 ' ') AS bt
+          FROM w, LATERAL (SELECT unnest(generate_series(1,
+              1 + CAST(CEIL(GREATEST(len(ws) - 4, 0) / 4.0) AS INT)))
+              AS i) t),
+    h AS (SELECT doc_id, block_idx, bt,
+                 ('0x' || substr(md5(bt), 1, 15))::BIGINT AS h FROM b),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                 ORDER BY doc_id, block_idx) AS rn FROM h),
+    tot AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+    kept AS (SELECT doc_id, COUNT(*) AS n_kept,
+                    string_agg(bt, ' ' ORDER BY block_idx) AS text_kept
+             FROM r WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_blocks AS BIGINT) AS n_blocks,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.text_kept, '') AS text_kept
+    FROM tot t LEFT JOIN kept k USING (doc_id)"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence-packing index (concat-with-EOS, cut at 128
+    tokens, packed per source shard)."""
+    from rasterkit_spark.operators import text as TX
+    _register(spark, sf_dir)
+    return TX.pack_sequences(spark.table("documents"), seq_len=128)
+
+
+def _pack_sequences_oracle_sql() -> str:
+    """Replay: portable whitespace token count (length arithmetic, the
+    ws_token_count rule), per-shard running SUM window, floor division
+    into 128-token sequences."""
+    return """
+    WITH d AS (SELECT doc_id, source AS shard,
+                      CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LENGTH(TRIM(text))
+                                - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1
+                      END AS n_tokens
+               FROM documents),
+    c AS (SELECT *, SUM(n_tokens + 1) OVER (PARTITION BY shard
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_tok
+          FROM d),
+    s AS (SELECT doc_id, shard, n_tokens,
+                 end_tok - n_tokens - 1 AS start_tok FROM c),
+    e AS (SELECT *,
+                 CAST(FLOOR(start_tok / 128.0) AS BIGINT) AS seq_first,
+                 CAST(FLOOR(GREATEST(start_tok + n_tokens - 1, start_tok)
+                            / 128.0) AS BIGINT) AS seq_last
+          FROM s)
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok, seq_first, seq_last,
+           CAST(seq_last - seq_first + 1 AS BIGINT) AS n_seqs
+    FROM e"""
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
@@ -1597,6 +1683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # §2.10 stateful path (applyInPandasWithState), real stream execution
     q["events_stateful_stats"] = _q_events_stateful
     q["video_frame_sample"] = _q_video_frames
+    q["dedup_blocks"] = _q_dedup_blocks          # CCNet-style block dedup
+    q["contamination_bloom"] = _q_contamination_bloom
+    q["pack_sequences"] = _q_pack_sequences
     return _reorder_for_gate(q)
 
 
@@ -1609,7 +1698,8 @@ GATE_PRIORITY = [
     "tfidf_keywords", "event_sessions", "asof_funnel",
     "events_tumbling_window", "events_stateful_stats",
     # round-5 additions (new surface verifies before long-green rows)
-    "video_frame_sample",
+    "video_frame_sample", "dedup_blocks", "contamination_bloom",
+    "pack_sequences",
 ]
 
 #: rows that may rotate OUT of the 50-row window when the registry grows:
@@ -1620,6 +1710,8 @@ GATE_TAIL = [
     "mercator_forward", "mercator_roundtrip", "point_radius_bbox",
     "bbox_to_region", "adjust_tiepoint", "epsg_classify", "grid_cells",
     "lod_selection", "dedup_sort_last", "range_filter",
+    # single-formula text scalars, long green + direct pytest parity
+    "token_count", "lang_id", "doc_fingerprint",
 ]
 
 
@@ -2045,6 +2137,10 @@ def oracle_sql() -> dict[str, str]:
     o["stratified_sample"] = _stratified_sample_oracle_sql()
     o["shared_spans"] = _shared_spans_oracle_sql()
     o["contamination_check"] = _contamination_oracle_sql()
+    # the Bloom-prefiltered plan must produce the EXACT operator's output
+    o["contamination_bloom"] = _contamination_oracle_sql()
+    o["dedup_blocks"] = _dedup_blocks_oracle_sql()
+    o["pack_sequences"] = _pack_sequences_oracle_sql()
     o["chunk_documents"] = _chunk_documents_oracle_sql()
     o["corpus_stats"] = _CORPUS_STATS_ORACLE
     o["skew_report"] = _SKEW_REPORT_ORACLE

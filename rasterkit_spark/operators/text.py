@@ -401,3 +401,42 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
             .select(id_col, F.col("rank").cast("long"), "term",
                     F.col("tf").cast("long"), F.col("df").cast("long"),
                     "tfidf_e4"))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 1024,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shard_col: str = "source") -> DataFrame:
+    """GPT-style pretraining packing map: within each shard, docs are
+    concatenated in id order with one EOS token between docs and the
+    stream is cut into fixed ``seq_len``-token training sequences.
+    Returns, per doc, where its tokens land → (doc_id, shard, n_tokens,
+    start_tok, seq_first, seq_last, n_seqs) — the index a writer uses to
+    emit packed sequence shards without materializing the token stream.
+
+    Token rule is the portable whitespace count (:func:`ws_token_count`).
+    The running offset is a per-SHARD window cumsum — the shard is the
+    parallel unit (real pipelines pack within files/shards precisely so
+    no global order exists); a corpus-wide ordered window would funnel
+    everything through one partition and is deliberately absent.  An
+    empty doc contributes only its EOS slot and lands in exactly the one
+    sequence holding that slot."""
+    nt = ws_token_count(F.col(text_col))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = docs.select(F.col(id_col), F.col(shard_col).alias("shard"),
+                    nt.alias("n_tokens"))
+    d = d.withColumn("end_tok", F.sum(F.col("n_tokens") + 1).over(w))
+    d = d.withColumn("start_tok",
+                     F.col("end_tok") - F.col("n_tokens") - 1)
+    last_tok = F.greatest(F.col("start_tok") + F.col("n_tokens") - 1,
+                          F.col("start_tok"))
+    d = (d.withColumn("seq_first",
+                      F.floor(F.col("start_tok") / seq_len).cast("long"))
+         .withColumn("seq_last", F.floor(last_tok / seq_len).cast("long")))
+    return d.select(
+        F.col(id_col), F.col("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        "seq_first", "seq_last",
+        (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
+        .alias("n_seqs"))

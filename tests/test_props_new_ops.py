@@ -116,3 +116,80 @@ def test_asof_join_matches_bruteforce(spark):
                           if r["ts_sec"] == best_ts)
             assert row.asof_ts_sec == best_ts
             assert row.asof_event_id == best_id
+
+
+def _brute_dedup_blocks(rows, bw):
+    blocks = []
+    for r in rows:
+        ws = r["text"].strip().split(" ")
+        n = 1 + max(0, -(-(len(ws) - bw) // bw)) if len(ws) > bw else 1
+        for i in range(n):
+            blocks.append((r["doc_id"], i,
+                           " ".join(ws[i * bw:i * bw + bw])))
+    first = {}
+    for d, i, t in sorted(blocks):
+        first.setdefault(t, (d, i))
+    out = {}
+    for d, i, t in blocks:
+        tot, kept = out.setdefault(d, [0, []])
+        out[d][0] += 1
+        if first[t] == (d, i):
+            out[d][1].append((i, t))
+    return {d: (tot, len(k), " ".join(t for _, t in sorted(k)))
+            for d, (tot, k) in out.items()}
+
+
+def test_dedup_blocks_matches_bruteforce_first_occurrence(spark):
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(7)]  # tiny vocab → real collisions
+    rows = [dict(doc_id=i, text=" ".join(
+        vocab[int(j)] for j in rng.integers(0, 7, int(rng.integers(1, 40)))))
+        for i in range(25)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    got = DD.dedup_blocks(docs, block_words=3).toPandas() \
+        .set_index("doc_id")
+    want = _brute_dedup_blocks(rows, 3)
+    for d, (tot, kept, text) in want.items():
+        row = got.loc[d]
+        assert (row.n_blocks, row.n_kept, row.text_kept) == \
+            (tot, kept, text), f"doc {d}"
+    # non-vacuity: the tiny vocab must actually produce dropped blocks
+    assert (got.n_kept < got.n_blocks).any()
+
+
+def test_contamination_bloom_equals_exact_operator(spark):
+    rng = np.random.default_rng(31)
+    vocab = [f"v{i}" for i in range(12)]
+    rows = [dict(doc_id=i, text=" ".join(
+        vocab[int(j)] for j in rng.integers(0, 12, 30))) for i in range(40)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    train = docs.filter("doc_id % 5 != 0")
+    bench = docs.filter("doc_id % 5 = 0")
+    exact = DD.contamination_check(train, bench, n=3).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = DD.contamination_check_bloom(train, bench, n=3,
+                                         m_bits=1 << 16).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert (exact.n_hit > 0).any()  # non-vacuous overlap
+
+
+def test_pack_sequences_stream_is_contiguous_per_shard(spark):
+    rng = np.random.default_rng(41)
+    rows = [dict(doc_id=i, source=f"s{i % 3}", text=" ".join(
+        "x" for _ in range(int(rng.integers(0, 300)))))
+        for i in range(30)]
+    # include one empty doc: occupies only its EOS slot
+    rows[7]["text"] = ""
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    got = TX.pack_sequences(docs, seq_len=64, shard_col="source") \
+        .toPandas().sort_values(["shard", "doc_id"])
+    for shard, g in got.groupby("shard"):
+        expect_start = 0
+        for r in g.itertuples():
+            assert r.start_tok == expect_start
+            assert r.seq_first == r.start_tok // 64
+            last = max(r.start_tok + r.n_tokens - 1, r.start_tok)
+            assert r.seq_last == last // 64
+            assert r.n_seqs == r.seq_last - r.seq_first + 1
+            expect_start += r.n_tokens + 1  # +1 EOS separator
