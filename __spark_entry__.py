@@ -817,6 +817,118 @@ def _pack_sequences_oracle_sql() -> str:
     FROM e"""
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline (quality ≥90 → exact dedup →
+    overlap ≤0.15 vs the doc_id%9=0 benchmark slice → mixture sample →
+    80/10/10 split → 128-token packing per split/source shard), verified
+    END-TO-END against one CTE chain — composition errors (stage order,
+    filter slices, shard keys) fail this row even when every stage row
+    is green on its own."""
+    from rasterkit_spark.operators.pipeline import corpus_pipeline
+    _register(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id % 9 != 0")
+    benchmark = spark.table("documents").filter("doc_id % 9 = 0")
+    return corpus_pipeline(docs, benchmark, min_quality=90,
+                           max_contamination_e6=150_000,
+                           rates_ppm=_MIX_RATES, default_ppm=500_000,
+                           train_ppm=800_000, val_ppm=100_000,
+                           seq_len=128)
+
+
+def _corpus_pipeline_oracle_sql() -> str:
+    """Single CTE chain replaying every pipeline stage: the quality
+    formula (same _count_occ expansion as the quality_score oracle),
+    md5 keep-first dedup, the contamination grams/overlap (over the
+    pipeline's SURVIVORS, not all docs), the mix/split hash buckets, and
+    the per-shard packing window."""
+    from rasterkit_spark.operators.text import STOPWORDS
+    tokens = ("CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+              "ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', ''))"
+              " + 1 END")
+    punct = " + ".join(_count_occ("text", c)
+                       for c in [".", ",", "!", "?", ";"])
+    stop = " + ".join(_count_occ("(' ' || text || ' ')", f" {w} ")
+                      for w in STOPWORDS)
+    case = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(_MIX_RATES.items()))
+    return f"""
+    WITH m AS (
+        SELECT doc_id, text, source, LENGTH(text) AS n_chars,
+               {tokens} AS tokens, ({punct}) AS punct,
+               ({stop}) AS stop_hits
+        FROM documents WHERE doc_id % 9 != 0),
+    qual AS (
+        SELECT doc_id, text, source,
+               CAST(100
+                 - CASE WHEN n_chars < 50 THEN 30 ELSE 0 END
+                 - CASE WHEN (CASE WHEN n_chars > 0
+                              THEN CAST(punct AS DOUBLE) / n_chars
+                              ELSE 0.0 END) > 0.1 THEN 20 ELSE 0 END
+                 - CASE WHEN (CASE WHEN tokens > 0
+                              THEN CAST(stop_hits AS DOUBLE) / tokens
+                              ELSE 0.0 END) < 0.05 THEN 15 ELSE 0 END
+                 - CASE WHEN (CASE WHEN tokens > 0
+                              THEN CAST(n_chars AS DOUBLE) / tokens
+                              ELSE 0.0 END) > 12.0 THEN 10 ELSE 0 END
+                 AS BIGINT) AS quality_score
+        FROM m),
+    qkeep AS (SELECT * FROM qual WHERE quality_score >= 90),
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM qkeep GROUP BY md5(text)),
+    dd AS (SELECT q.* FROM qkeep q JOIN reps r USING (doc_id)),
+    dws AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws FROM dd),
+    dg AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(ws, CAST(i AS INT),
+                                             CAST(i + 2 AS INT)), ' ') AS g
+           FROM dws, LATERAL (SELECT unnest(generate_series(1,
+               GREATEST(len(ws) - 2, 1))) AS i) t),
+    bws AS (SELECT doc_id, string_split(TRIM(text), ' ') AS ws
+            FROM documents WHERE doc_id % 9 = 0),
+    bg AS (SELECT DISTINCT
+                  array_to_string(list_slice(ws, CAST(i AS INT),
+                                             CAST(i + 2 AS INT)), ' ') AS g
+           FROM bws, LATERAL (SELECT unnest(generate_series(1,
+               GREATEST(len(ws) - 2, 1))) AS i) t),
+    ov AS (SELECT dg.doc_id, COUNT(*) AS n_grams,
+                  SUM(CASE WHEN bg.g IS NULL THEN 0 ELSE 1 END) AS n_hit
+           FROM dg LEFT JOIN bg ON bg.g = dg.g GROUP BY dg.doc_id),
+    cl AS (SELECT dd.*, CAST(FLOOR(CAST(ov.n_hit AS DOUBLE) * 1000000.0
+                                   / ov.n_grams) AS BIGINT) AS overlap_e6
+           FROM dd JOIN ov USING (doc_id)
+           WHERE CAST(FLOOR(CAST(ov.n_hit AS DOUBLE) * 1000000.0
+                            / ov.n_grams) AS BIGINT) <= 150000),
+    mix AS (SELECT * FROM cl
+            WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),
+                                  1, 12))::BIGINT % 1000000
+                  < CASE source {case} ELSE 500000 END),
+    spl AS (SELECT *,
+                   CASE WHEN ('0x' || substr(md5('split'
+                             || CAST(doc_id AS VARCHAR)),
+                             1, 12))::BIGINT % 1000000 < 800000
+                        THEN 'train'
+                        WHEN ('0x' || substr(md5('split'
+                             || CAST(doc_id AS VARCHAR)),
+                             1, 12))::BIGINT % 1000000 < 900000
+                        THEN 'val' ELSE 'test' END AS split
+            FROM mix),
+    tok AS (SELECT doc_id, split, quality_score, overlap_e6,
+                   split || '/' || source AS shard, {tokens} AS n_tokens
+            FROM spl),
+    c AS (SELECT *, SUM(n_tokens + 1) OVER (PARTITION BY shard
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_tok
+          FROM tok),
+    s AS (SELECT *, end_tok - n_tokens - 1 AS start_tok FROM c),
+    e AS (SELECT *,
+                 CAST(FLOOR(start_tok / 128.0) AS BIGINT) AS seq_first,
+                 CAST(FLOOR(GREATEST(start_tok + n_tokens - 1, start_tok)
+                            / 128.0) AS BIGINT) AS seq_last
+          FROM s)
+    SELECT doc_id, shard, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok, seq_first, seq_last,
+           CAST(seq_last - seq_first + 1 AS BIGINT) AS n_seqs,
+           quality_score, CAST(overlap_e6 AS BIGINT) AS overlap_e6
+    FROM e"""
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasterkit_spark.operators import dedup as DD
     _register(spark, sf_dir)
@@ -860,6 +972,25 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding")
     return SIM.ivf_topk(e, q, 5, n_lists=8, nprobe=4).select(
         "qid", "nbr_id", "rank")
+
+
+def _q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against a PERSISTED IVF index: the corpus is assigned once
+    (build_ivf_index — the write-once artifact), then a distinct query
+    batch (vec_id % 97 = 0) probes it with only the batch assigned to
+    lists.  Oracle is the same full IVF replay as `ann_ivf_topk` with
+    the batch's filter — identical because the stored assignment is
+    bit-identical to the inline one."""
+    from pyspark.sql import functions as F
+    from rasterkit_spark.operators import similarity as SIM
+    _register(spark, sf_dir)
+    e = spark.table("embeddings")
+    cents = SIM.fit_centroids(e, 8)
+    index = SIM.build_ivf_index(e, cents)
+    batch = e.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    return SIM.ivf_topk_against_index(batch, index, cents, 5, nprobe=4) \
+        .select("qid", "nbr_id", "rank")
 
 
 def _q_quality(spark, sf_dir):
@@ -1686,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_blocks"] = _q_dedup_blocks          # CCNet-style block dedup
     q["contamination_bloom"] = _q_contamination_bloom
     q["pack_sequences"] = _q_pack_sequences
+    q["corpus_pipeline"] = _q_corpus_pipeline    # composed end-to-end prep
+    q["ann_ivf_incremental"] = _q_ann_ivf_incremental
     return _reorder_for_gate(q)
 
 
@@ -1699,7 +1832,7 @@ GATE_PRIORITY = [
     "events_tumbling_window", "events_stateful_stats",
     # round-5 additions (new surface verifies before long-green rows)
     "video_frame_sample", "dedup_blocks", "contamination_bloom",
-    "pack_sequences",
+    "pack_sequences", "corpus_pipeline", "ann_ivf_incremental",
 ]
 
 #: rows that may rotate OUT of the 50-row window when the registry grows:
@@ -1712,6 +1845,9 @@ GATE_TAIL = [
     "lod_selection", "dedup_sort_last", "range_filter",
     # single-formula text scalars, long green + direct pytest parity
     "token_count", "lang_id", "doc_fingerprint",
+    # long green AND their exact formulas are re-verified end-to-end by
+    # the corpus_pipeline gate row's CTE replay every round
+    "quality_score", "stratified_sample",
 ]
 
 
@@ -1956,7 +2092,8 @@ def _embedding_dups_oracle_sql(n_bands: int = 12, band_planes: int = 6,
 
 
 def _ann_ivf_oracle_sql(n_lists: int = 8, nprobe: int = 4, k: int = 5,
-                        sf_dir: str | None = None) -> str:
+                        sf_dir: str | None = None,
+                        query_filter: str = "vec_id % 50 = 0") -> str:
     """Full SQL replay of the IVF index: the converged k-means centroids
     are re-fit here from the same deterministic sample the engine uses
     (first 2000 vectors by vec_id, identical numpy fit) and inlined as
@@ -2004,7 +2141,8 @@ def _ann_ivf_oracle_sql(n_lists: int = 8, nprobe: int = 4, k: int = 5,
               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                            ORDER BY d, list_id) AS rn
               FROM ad) WHERE rn = 1),
-    q AS (SELECT vec_id AS qid, v AS qv, vq AS qvq FROM e WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS qid, v AS qv, vq AS qvq FROM e
+          WHERE {query_filter}),
     qd AS (SELECT q.qid, q.qv, c.list_id,
                   list_dot_product(q.qvq, q.qvq) - 2 * list_dot_product(q.qvq, c.cq)
                   + list_dot_product(c.cq, c.cq) AS d
@@ -2141,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
     o["contamination_bloom"] = _contamination_oracle_sql()
     o["dedup_blocks"] = _dedup_blocks_oracle_sql()
     o["pack_sequences"] = _pack_sequences_oracle_sql()
+    o["corpus_pipeline"] = _corpus_pipeline_oracle_sql()
     o["chunk_documents"] = _chunk_documents_oracle_sql()
     o["corpus_stats"] = _CORPUS_STATS_ORACLE
     o["skew_report"] = _SKEW_REPORT_ORACLE
@@ -2161,6 +2300,8 @@ def oracle_sql() -> dict[str, str]:
     o["rgb_minmax"] = _rgb_minmax_oracle_sql()
     o["extract_lod"] = _extract_lod_oracle_sql()
     o["ann_ivf_topk"] = _ann_ivf_oracle_sql()
+    o["ann_ivf_incremental"] = _ann_ivf_oracle_sql(
+        query_filter="vec_id % 97 = 0")
     o["video_frame_sample"] = _video_frames_oracle_sql()
     # align with queries()' registration order exactly, so the harness's
     # 50-row window is identical whichever dict it iterates

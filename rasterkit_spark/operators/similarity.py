@@ -312,33 +312,6 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     queries = ensure_parallelism(queries)
     cents = fit_centroids(embeddings, n_lists, id_col, vec_col,
                           sample_rows, seed)
-    cq = quantize(cents).astype(np.int64)  # captured in closures (small)
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import (ArrayType, LongType, StructField,
-                                   StructType)
-
-    # int64 distances via the expanded |m|² − 2m·c + |c|² — EXACT integer
-    # arithmetic, so assignment is bit-identical to the difference-tensor
-    # form (and to the oracle SQL, which already computes this expanded
-    # expression) while skipping the (batch, lists, dim) temporary
-    cq2 = (cq * cq).sum(1)
-
-    @pandas_udf(IntegerType())
-    def assign_udf(v: pd.Series) -> pd.Series:
-        m = quantize(np.stack(v.to_numpy())).astype(np.int64)
-        d = (m * m).sum(1)[:, None] - 2 * (m @ cq.T) + cq2[None, :]
-        return pd.Series(d.argmin(1).astype(np.int32))  # first-min = low id
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def probe_udf(v: pd.Series) -> pd.Series:
-        m = quantize(np.stack(v.to_numpy())).astype(np.int64)
-        d = (m * m).sum(1)[:, None] - 2 * (m @ cq.T) + cq2[None, :]
-        # stable argsort ties to the lower list_id — same order the SQL
-        # oracle's ROW_NUMBER (ORDER BY d, list_id) produces
-        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([row.astype(np.int32).tolist() for row in idx])
-
     # NO cast to array<double> here: the cogroup below shuffles these
     # columns, and float32→float64 widening is EXACT, so casting after the
     # shuffle (score_list's astype) yields bit-identical cos_e6 while a
@@ -348,15 +321,69 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     # lever that also halves per-node shuffle volume on a real cluster.
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
                           F.col(vec_col).alias("v"),
-                          assign_udf(F.col(vec_col)).alias("list_id"))
+                          _assign_udf(cents)(F.col(vec_col))
+                          .alias("list_id"))
     probes = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(qvec_col).alias("qv"),
-        F.explode(probe_udf(F.col(qvec_col))).alias("list_id"))
+        F.explode(_probe_udf(cents, nprobe)(F.col(qvec_col)))
+        .alias("list_id"))
+    return _score_lists_cogrouped(
+        e, probes, k, queries.schema[qid_col].dataType,
+        embeddings.schema[id_col].dataType)
+
+
+def _assign_udf(cents: "np.ndarray"):
+    """Arrow-batched nearest-centroid assignment.  int64 distances via
+    the expanded |m|² − 2m·c + |c|² — EXACT integer arithmetic, so
+    assignment is bit-identical to the difference-tensor form (and to
+    the oracle SQL, which computes this expanded expression) while
+    skipping the (batch, lists, dim) temporary.  First-min = low id."""
+    from pyspark.sql.functions import pandas_udf
+
+    cq = quantize(cents).astype(np.int64)
+    cq2 = (cq * cq).sum(1)
+
+    @pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        m = quantize(np.stack(v.to_numpy())).astype(np.int64)
+        d = (m * m).sum(1)[:, None] - 2 * (m @ cq.T) + cq2[None, :]
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return assign
+
+
+def _probe_udf(cents: "np.ndarray", nprobe: int):
+    """Arrow-batched nprobe-nearest-lists probe; stable argsort ties to
+    the lower list_id — same order the SQL oracle's ROW_NUMBER
+    (ORDER BY d, list_id) produces."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    cq = quantize(cents).astype(np.int64)
+    cq2 = (cq * cq).sum(1)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(v: pd.Series) -> pd.Series:
+        m = quantize(np.stack(v.to_numpy())).astype(np.int64)
+        d = (m * m).sum(1)[:, None] - 2 * (m @ cq.T) + cq2[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+
+    return probe
+
+
+def _score_lists_cogrouped(e: DataFrame, probes: DataFrame, k: int,
+                           qid_type, nid_type) -> DataFrame:
+    """Shared IVF scoring tail: cogroup (nbr_id, v, list_id) with
+    (qid, qv, list_id) by list, one matmul per list for all dots,
+    per-query partial top-k, global window merge.  Used by both the
+    one-shot :func:`ivf_topk` and the persisted-index probe."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
     partial_schema = StructType([
-        StructField("qid", queries.schema[qid_col].dataType),
-        StructField("nbr_id", embeddings.schema[id_col].dataType),
+        StructField("qid", qid_type),
+        StructField("nbr_id", nid_type),
         StructField("cos_e6", LongType()),
     ])
 
@@ -416,3 +443,50 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
         return 1.0
     total_hits = ex.join(ap, ["qid", "nbr_id"]).count()
     return float(total_hits) / n_exact
+
+
+def build_ivf_index(embeddings: DataFrame, cents: "np.ndarray",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Write-once IVF index of an embedding corpus snapshot:
+    (nbr_id, v, list_id) — the ANN analog of the dedup ops'
+    :func:`~rasterkit_spark.operators.dedup.build_minhash_index`.
+
+    The 100-TB pattern: assigning 10¹² vectors to centroid lists is the
+    dominant ANN cost and it never changes between queries — persist this
+    table PARTITIONED BY list_id (so a probe touches only nprobe lists'
+    files — partition pruning does the candidate selection) and store the
+    small ``cents`` matrix alongside (e.g. as npy/parquet); every query
+    batch then runs :func:`ivf_topk_against_index` at cost ∝ |batch| ×
+    nprobe list scans, never re-assigning the corpus.  ``cents`` comes
+    from :func:`fit_centroids` (or any fit) — the same array MUST be
+    passed to the probe, or list membership silently disagrees."""
+    from ..session import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
+    return embeddings.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("v"),
+        _assign_udf(cents)(F.col(vec_col)).alias("list_id"))
+
+
+def ivf_topk_against_index(queries: DataFrame, index: DataFrame,
+                           cents: "np.ndarray", k: int, nprobe: int = 4,
+                           qid_col: str = "qid",
+                           qvec_col: str = "embedding") -> DataFrame:
+    """Top-k of a query batch against a stored :func:`build_ivf_index`:
+    only the BATCH is assigned to lists (narrow Arrow pass); scoring is
+    the same per-list cogroup matmul as :func:`ivf_topk`.  When the index
+    table is partitioned by list_id, the equi-cogroup on list_id prunes
+    to the probed lists' partitions.  ``cents`` must be the matrix the
+    index was built with."""
+    from ..session import ensure_parallelism
+
+    queries = ensure_parallelism(queries)
+    probes = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).alias("qv"),
+        F.explode(_probe_udf(cents, nprobe)(F.col(qvec_col)))
+        .alias("list_id"))
+    return _score_lists_cogrouped(
+        index, probes, k, queries.schema[qid_col].dataType,
+        index.schema["nbr_id"].dataType)

@@ -78,11 +78,15 @@ def count_occurrences(text: Column, needle: str) -> Column:
             / len(needle)).cast("long")
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Length / punctuation / stopword-ratio quality heuristics.
 
     All ratios are scaled to integers (×1e6, floor) so float formatting can
-    never break oracle comparison.  score = 100 − penalties."""
+    never break oracle comparison.  score = 100 − penalties.
+    ``passthrough`` columns are copied to the output so a caller filtering
+    on the score keeps the doc payload without a self-join (the whole op
+    stays one narrow projection)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     tokens = ws_token_count(t)
@@ -107,6 +111,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.floor(stop_ratio * 1e6).cast("long").alias("stop_ratio_e6"),
         F.floor(mean_word_len * 1e6).cast("long").alias("mean_word_len_e6"),
         score.cast("long").alias("quality_score"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -405,7 +410,8 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
 
 def pack_sequences(docs: DataFrame, seq_len: int = 1024,
                    text_col: str = "text", id_col: str = "doc_id",
-                   shard_col: str = "source") -> DataFrame:
+                   shard_col: str = "source",
+                   passthrough: tuple[str, ...] = ()) -> DataFrame:
     """GPT-style pretraining packing map: within each shard, docs are
     concatenated in id order with one EOS token between docs and the
     stream is cut into fixed ``seq_len``-token training sequences.
@@ -419,12 +425,14 @@ def pack_sequences(docs: DataFrame, seq_len: int = 1024,
     no global order exists); a corpus-wide ordered window would funnel
     everything through one partition and is deliberately absent.  An
     empty doc contributes only its EOS slot and lands in exactly the one
-    sequence holding that slot."""
+    sequence holding that slot.  ``passthrough`` columns ride along
+    (inside the same window stage — no extra join)."""
     nt = ws_token_count(F.col(text_col))
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     d = docs.select(F.col(id_col), F.col(shard_col).alias("shard"),
-                    nt.alias("n_tokens"))
+                    nt.alias("n_tokens"),
+                    *[F.col(c) for c in passthrough])
     d = d.withColumn("end_tok", F.sum(F.col("n_tokens") + 1).over(w))
     d = d.withColumn("start_tok",
                      F.col("end_tok") - F.col("n_tokens") - 1)
@@ -439,4 +447,5 @@ def pack_sequences(docs: DataFrame, seq_len: int = 1024,
         F.col("start_tok").cast("long").alias("start_tok"),
         "seq_first", "seq_last",
         (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
-        .alias("n_seqs"))
+        .alias("n_seqs"),
+        *[F.col(c) for c in passthrough])

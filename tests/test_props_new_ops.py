@@ -193,3 +193,79 @@ def test_pack_sequences_stream_is_contiguous_per_shard(spark):
             assert r.seq_last == last // 64
             assert r.n_seqs == r.seq_last - r.seq_first + 1
             expect_start += r.n_tokens + 1  # +1 EOS separator
+
+
+def test_corpus_pipeline_matches_staged_composition(spark):
+    """The composed plan must equal running the stages one by one."""
+    from rasterkit_spark.operators.pipeline import corpus_pipeline
+    from rasterkit_spark.operators import sampling as SMP
+
+    rng = np.random.default_rng(53)
+    stop = ["the", "a"]  # appear in STOPWORDS → varied stop_ratio
+    vocab = [f"q{i}" for i in range(9)] + stop
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(3, 60))
+        rows.append(dict(doc_id=i, source=f"s{i % 2}", text=" ".join(
+            vocab[int(j)] for j in rng.integers(0, len(vocab), n))))
+    rows[11]["text"] = rows[4]["text"]   # exact dup → dedup must drop 11
+    docs_all = spark.createDataFrame(pd.DataFrame(rows))
+    docs = docs_all.filter("doc_id % 7 != 0")
+    bench = docs_all.filter("doc_id % 7 = 0")
+
+    got = corpus_pipeline(
+        docs, bench, min_quality=80, max_contamination_e6=900_000,
+        rates_ppm={"s0": 1_000_000}, default_ppm=700_000,
+        train_ppm=800_000, val_ppm=100_000, seq_len=32).toPandas()
+
+    # staged replay with the operators directly
+    q = TX.quality_score(docs, passthrough=("text", "source")) \
+        .filter("quality_score >= 80")
+    reps = DD.exact_dedup(q).selectExpr("rep_id AS doc_id")
+    kept = q.join(reps, "doc_id", "left_semi")
+    ov = DD.contamination_check(kept, bench, n=3) \
+        .filter("overlap_e6 <= 900000").select("doc_id", "overlap_e6")
+    kept = kept.join(ov, "doc_id")
+    kept = SMP.stratified_sample(kept, {"s0": 1_000_000},
+                                 default_ppm=700_000)
+    kept = SMP.split_assign(kept, train_ppm=800_000, val_ppm=100_000)
+    import pyspark.sql.functions as SF
+    kept = kept.withColumn("shard", SF.concat_ws("/", "split", "source"))
+    want = TX.pack_sequences(
+        kept, 32, shard_col="shard",
+        passthrough=("split", "quality_score", "overlap_e6")) \
+        .select(*got.columns).toPandas()
+
+    key = sorted(got.columns)
+    gs = got[key].sort_values(key).reset_index(drop=True)
+    ws = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gs, ws)
+    # non-vacuity: the dup is gone, several docs filtered, rows remain
+    assert 11 not in set(gs.doc_id)
+    assert 0 < len(gs) < len(rows)
+
+
+def test_ivf_index_probe_matches_inline_ivf(spark):
+    """ivf_topk_against_index over a stored index must equal ivf_topk
+    run inline with the same centroids/params (the stored assignment is
+    the same bit-identical integer-grid argmin)."""
+    from rasterkit_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(61)
+    vecs = rng.normal(size=(120, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(120),
+                      "embedding": [v.tolist() for v in vecs]}))
+    q = emb.filter("vec_id % 11 = 0").selectExpr("vec_id AS qid",
+                                                 "embedding")
+    inline = SIM.ivf_topk(emb, q, 4, n_lists=4, nprobe=2,
+                          sample_rows=120).toPandas()
+    cents = SIM.fit_centroids(emb, 4, sample_rows=120)
+    index = SIM.build_ivf_index(emb, cents)
+    probed = SIM.ivf_topk_against_index(q, index, cents, 4,
+                                        nprobe=2).toPandas()
+    key = ["qid", "rank"]
+    a = inline.sort_values(key).reset_index(drop=True)
+    b = probed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
