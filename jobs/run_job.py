@@ -7,7 +7,7 @@ Usage (cluster):
         --job extract --queries <path> --catalog <path> --tiles <path> \
         --out <path> [--resume-id my_job --base-dir <ckpt>]
 
-Jobs: extract | analyze | convert | pyramid | pip | knn | zonal.
+Jobs: extract | analyze | convert | pyramid | pip | knn | zonal | corpus.
 (Benchmarks run via the repo-root ``bench.py``, not through this entry.)
 In local mode the session factory supplies master/local parallelism; on a
 cluster, master/executors come from spark-submit and the Iceberg catalog
@@ -28,13 +28,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--job", required=True,
                     choices=["extract", "analyze", "convert", "pyramid",
-                             "pip", "knn", "zonal"])
+                             "pip", "knn", "zonal", "corpus"])
     ap.add_argument("--queries")
     ap.add_argument("--catalog")
     ap.add_argument("--tiles")
     ap.add_argument("--points")
     ap.add_argument("--polygons")
     ap.add_argument("--zones")
+    ap.add_argument("--docs", help="documents table (corpus job)")
+    ap.add_argument("--benchmark", help="benchmark/eval table (corpus job)")
+    ap.add_argument("--min-quality", type=int, default=70)
+    ap.add_argument("--max-contamination-e6", type=int, default=500_000)
+    ap.add_argument("--seq-len", type=int, default=1024)
     ap.add_argument("--out", required=True)
     ap.add_argument("--target-compression", type=int, default=8)
     ap.add_argument("--k", type=int, default=10)
@@ -75,6 +80,13 @@ def main() -> None:
         if args.job == "zonal":
             return api.zonal_stats(rd(args.zones), rd(args.catalog),
                                    rd(args.tiles))
+        if args.job == "corpus":
+            from rasterkit_spark.operators.pipeline import corpus_pipeline
+            return corpus_pipeline(
+                rd(args.docs), rd(args.benchmark),
+                min_quality=args.min_quality,
+                max_contamination_e6=args.max_contamination_e6,
+                seq_len=args.seq_len)
         raise SystemExit(f"unknown job {args.job}")
 
     if args.resume_id and args.job == "extract":

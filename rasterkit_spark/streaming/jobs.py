@@ -213,3 +213,96 @@ def near_dup_ingest_stream(docs_stream: DataFrame, index: DataFrame,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True))
+
+
+def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800,
+                      idle_timeout_ms: int | None = None) -> DataFrame:
+    """Streaming gap sessionization (the §2.10 stateful analog of
+    ``operators.temporal.sessionize``): per user_id the state store holds
+    only the OPEN session (seq, start_es, last_es, n_events); each
+    micro-batch sorts its events by (ts, event_id), merges them into the
+    open session, EMITS every session the batch closes (``closed=true``)
+    and re-emits the running open session (``closed=false``).
+
+    Semantics match the batch operator exactly for closed sessions, and
+    the final open-session rows equal the batch op's last session per
+    user once the stream drains — provided each user's events arrive
+    batch-monotonically (an append log; within a batch any order is
+    fine).  ``idle_timeout_ms`` closes open sessions after that much
+    processing-time silence (continuous jobs); leave ``None`` for
+    drain-style runs (see running_type_stats for why).
+
+    State is O(1) per active user — the classic reason sessionization is
+    the canonical applyInPandasWithState example: a watermarked window
+    can't express "closes only on the NEXT event's gap"."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_sec", LongType()),
+        StructField("closed", BooleanType()),
+    ])
+    state_schema = StructType([
+        StructField("seq", LongType()),
+        StructField("start_es", LongType()),
+        StructField("last_es", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    def update(key, pdf_iter, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            seq, start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": uid, "session_seq": seq, "n_events": n,
+                "duration_sec": last - start, "closed": True}])
+            return
+        frames = [p for p in pdf_iter if len(p)]
+        if not frames:
+            if idle_timeout_ms is not None and state.exists:
+                state.setTimeoutDuration(idle_timeout_ms)
+            return
+        pdf = pd.concat(frames)
+        order = np.lexsort((pdf["event_id"].to_numpy(),
+                            pdf["ts"].to_numpy().astype("int64")))
+        es = (pdf["ts"].to_numpy().astype("int64") // 1_000_000_000)[order]
+        have = state.exists
+        seq, start, last, n = state.get if have else (0, 0, 0, 0)
+        # break BEFORE event i when the gap from the previous event
+        # (or the open session's last event) strictly exceeds gap_sec
+        prev = np.concatenate(([last if have else np.iinfo(np.int64).min],
+                               es[:-1]))
+        brk = (es - prev) > gap_sec
+        if not have:
+            brk[0] = True
+        out = []
+        for i, e in enumerate(es):
+            if brk[i]:
+                if have:  # the previous session just closed
+                    out.append((uid, seq, n, last - start, True))
+                seq, start, n, have = seq + 1, int(e), 0, True
+            n += 1
+            last = int(e)
+        state.update((seq, start, last, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        out.append((uid, seq, n, last - start, False))
+        yield pd.DataFrame(out, columns=["user_id", "session_seq",
+                                         "n_events", "duration_sec",
+                                         "closed"])
+
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if idle_timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout)
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", timeout_conf))

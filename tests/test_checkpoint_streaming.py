@@ -235,3 +235,53 @@ def test_near_dup_ingest_stream(spark, tmp_path):
     got_pairs = set(zip(out.new_id, out.corpus_id))
     want_pairs = set(zip(want.new_id, want.corpus_id))
     assert got_pairs == want_pairs and len(got_pairs) >= 10
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming gap sessionization: after draining a ts-ordered two-batch
+    replay, the last emit per (user, session_seq) — closed or still open —
+    must equal the batch sessionize() rows exactly."""
+    import shutil
+
+    from rasterkit_spark.operators.temporal import sessionize
+    from rasterkit_spark.streaming.jobs import sessionize_stream
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    batch = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    gap = 600
+    want = {(r.user_id, r.session_seq): (r.n_events, r.duration_sec)
+            for r in sessionize(batch, gap_sec=gap).collect()}
+
+    # split on median ts so each user's events arrive batch-monotonically
+    cutoff = batch.selectExpr(
+        "percentile_approx(unix_timestamp(ts), 0.5) AS c").collect()[0]["c"]
+    d = tmp_path / "sess_src"
+    batch.filter(F.unix_timestamp("ts") <= cutoff) \
+        .coalesce(1).write.parquet(str(d / "a"))
+    batch.filter(F.unix_timestamp("ts") > cutoff) \
+        .coalesce(1).write.parquet(str(d / "b"))
+    flat = tmp_path / "sess_flat"
+    flat.mkdir()
+    i = 0
+    for sub in ("a", "b"):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, flat / f"{i:02d}.parquet")
+            i += 1
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(flat)))
+    q = (sessionize_stream(stream, gap_sec=gap).writeStream
+         .format("memory").queryName("sess").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "sess_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM sess").toPandas()
+    final = out.groupby(["user_id", "session_seq"]).last()
+    got = {k: (int(v.n_events), int(v.duration_sec))
+           for k, v in final.iterrows()}
+    assert got == want
+    # non-vacuity: some sessions must have closed mid-stream
+    assert out.closed.any() and len(want) > 1

@@ -123,3 +123,35 @@ def test_true_spark_submit_with_py_files(spark, tmp_path):
     g = {(x.query_id, x.window_sha256) for x in got.collect()}
     w = {(x.query_id, x.window_sha256) for x in want.collect()}
     assert g == w
+
+
+@pytest.mark.slow
+def test_run_job_corpus_pipeline(spark, tmp_path):
+    """The corpus job flavor: spark-submit surface over the composed
+    prep pipeline must equal the in-process call."""
+    from rasterkit_spark.operators.pipeline import corpus_pipeline
+
+    docs_all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs_all.filter("doc_id % 9 != 0")
+    bench = docs_all.filter("doc_id % 9 = 0")
+    p_docs, p_bench = str(tmp_path / "docs"), str(tmp_path / "bench")
+    docs.write.parquet(p_docs)
+    bench.write.parquet(p_bench)
+    out = str(tmp_path / "out_corpus")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "run_job.py"),
+         "--job", "corpus", "--docs", p_docs, "--benchmark", p_bench,
+         "--min-quality", "80", "--max-contamination-e6", "900000",
+         "--seq-len", "64", "--out", out],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out).toPandas()
+    want = corpus_pipeline(docs, bench, min_quality=80,
+                           max_contamination_e6=900_000,
+                           seq_len=64).toPandas()
+    key = sorted(got.columns)
+    assert sorted(want.columns) == key
+    g = got[key].sort_values(key).reset_index(drop=True)
+    w = want[key].sort_values(key).reset_index(drop=True)
+    assert g.equals(w) and len(g) > 0
