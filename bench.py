@@ -467,6 +467,24 @@ def run_benchmarks(spark, sf_dir: str, big: bool | None = None,
           lambda: _rows(DD.shared_span_pairs(span_docs, min_len=40)),
           units=n_span_docs)
 
+    # block-level (paragraph) dedup over the amplified corpus: the rep
+    # copies share every base block, so the first-occurrence groupBy and
+    # the reassembly both do real cross-doc work
+    bench("dedup_blocks",
+          lambda: _rows(DD.dedup_blocks(amplified, block_words=16)),
+          units=n_docs)
+
+    # the composed corpus-prep pipeline end-to-end (quality gate → exact
+    # dedup → decontamination vs the un-amplified base as "benchmark" →
+    # split → packing); throughput in docs/sec of the full chain
+    from rasterkit_spark.operators.pipeline import corpus_pipeline as _cpipe
+    pdocs = amplified.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string")))
+    bench("corpus_pipeline",
+          lambda: _rows(_cpipe(pdocs, docs, min_quality=80,
+                               max_contamination_e6=900_000, seq_len=512)),
+          units=n_docs)
+
     # ---- similarity over an amplified embeddings corpus ----
     # pre-partition the one-file base table BEFORE amplification (the
     # big_dedup config's documented move): embeddings.parquet is a single
