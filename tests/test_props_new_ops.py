@@ -269,3 +269,23 @@ def test_ivf_index_probe_matches_inline_ivf(spark):
     b = probed.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_contamination_bloom_saturated_filter_still_exact(spark):
+    """Adversarial m_bits: a saturated Bloom bitmap (fp→1, prefilter
+    passes nearly everything) must still produce the exact operator's
+    output — correctness must never depend on the filter being
+    selective."""
+    rng = np.random.default_rng(71)
+    vocab = [f"z{i}" for i in range(30)]
+    rows = [dict(doc_id=i, text=" ".join(
+        vocab[int(j)] for j in rng.integers(0, 30, 25))) for i in range(30)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    train = docs.filter("doc_id % 4 != 0")
+    bench = docs.filter("doc_id % 4 = 0")
+    exact = DD.contamination_check(train, bench, n=2).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = DD.contamination_check_bloom(train, bench, n=2,
+                                         m_bits=1 << 10, k=4).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, bloom)
