@@ -95,3 +95,32 @@ def test_ivf_plan_no_pairwise_candidate_join(spark):
     plan = plan_of(df)
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_pipeline_plan_shuffle_census(spark):
+    """The pipeline module docstring promises a fixed shuffle census:
+    no CartesianProduct, no corpus self-join on text, and a bounded
+    number of exchanges (quality/mix/split are projection+filter;
+    dedup one agg + one semi-join; decontamination one gram join + one
+    agg + one filter-join; packing one per-shard window)."""
+    from rasterkit_spark.operators.pipeline import corpus_pipeline
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(60),
+        "source": [f"s{i % 2}" for i in range(60)],
+        "text": [f"w{i} w{i+1} w{i+2} common tail words" for i in
+                 range(60)]}))
+    out = corpus_pipeline(docs.filter("doc_id % 7 != 0"),
+                          docs.filter("doc_id % 7 = 0"),
+                          min_quality=0, max_contamination_e6=1_000_000,
+                          seq_len=32)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every join must be an equi-join (hash or sort-merge or broadcast)
+    n_exchange = plan.count("Exchange hashpartitioning") \
+        + plan.count("Exchange rangepartitioning")
+    # agg(md5) + semi-join + gram join + per-doc agg + overlap join +
+    # window partition — with AQE reuse this stays a small constant;
+    # the bound catches an accidental extra corpus-wide shuffle
+    assert n_exchange <= 12, plan[:4000]
