@@ -49,16 +49,10 @@ def corpus_pipeline(docs: DataFrame, benchmark: DataFrame,
     independent, so the output is bit-stable across partitionings and
     engines (the driver gate replays the full chain in SQL).
     """
-    if id_col != "doc_id":
-        # quality_score (and the gate oracle) key on the literal doc_id
-        # column; renaming upstream is cheaper than threading the name
-        # through every stage
-        raise ValueError("corpus_pipeline requires id_col='doc_id' — "
-                         "rename the column upstream "
-                         "(df.withColumnRenamed(..., 'doc_id'))")
     # 1. quality gate — narrow projection, filter pushes toward the scan
     scored = quality_score(docs, text_col,
-                           passthrough=(text_col, source_col)) \
+                           passthrough=(text_col, source_col),
+                           id_col=id_col) \
         .filter(F.col("quality_score") >= min_quality)
 
     # 2. exact dedup: keep each distinct text's smallest doc_id.  One

@@ -303,13 +303,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     the floored value always equals the oracle's (e.g. exact self-matches
     floor to the same side)."""
     del broadcast_queries  # superseded by the cogroup plan (see docstring)
-    from ..session import ensure_parallelism
-
-    # small-file inputs (one parquet file → one partition) would otherwise
-    # run the assign/probe UDFs on one core regardless of cluster size —
-    # no-op when the input is already wide
-    embeddings = ensure_parallelism(embeddings)
-    queries = ensure_parallelism(queries)
+    # (build_ivf_index / ivf_topk_against_index widen narrow inputs via
+    # ensure_parallelism themselves)
     cents = fit_centroids(embeddings, n_lists, id_col, vec_col,
                           sample_rows, seed)
     # NO cast to array<double> here: the cogroup below shuffles these
@@ -319,18 +314,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     # wire at half the bytes.  The local-mode scaling bisection showed the
     # vector transport is memory-bandwidth-bound; halving it is the one
     # lever that also halves per-node shuffle volume on a real cluster.
-    e = embeddings.select(F.col(id_col).alias("nbr_id"),
-                          F.col(vec_col).alias("v"),
-                          _assign_udf(cents)(F.col(vec_col))
-                          .alias("list_id"))
-    probes = queries.select(
-        F.col(qid_col).alias("qid"),
-        F.col(qvec_col).alias("qv"),
-        F.explode(_probe_udf(cents, nprobe)(F.col(qvec_col)))
-        .alias("list_id"))
-    return _score_lists_cogrouped(
-        e, probes, k, queries.schema[qid_col].dataType,
-        embeddings.schema[id_col].dataType)
+    # (The no-cast invariant lives inside build_ivf_index /
+    # ivf_topk_against_index — ONE definition each; this function is
+    # just their composition with an inline index.)
+    index = build_ivf_index(embeddings, cents, id_col, vec_col)
+    return ivf_topk_against_index(queries, index, cents, k, nprobe,
+                                  qid_col, qvec_col)
 
 
 def _assign_udf(cents: "np.ndarray"):
@@ -475,10 +464,17 @@ def ivf_topk_against_index(queries: DataFrame, index: DataFrame,
                            qvec_col: str = "embedding") -> DataFrame:
     """Top-k of a query batch against a stored :func:`build_ivf_index`:
     only the BATCH is assigned to lists (narrow Arrow pass); scoring is
-    the same per-list cogroup matmul as :func:`ivf_topk`.  When the index
-    table is partitioned by list_id, the equi-cogroup on list_id prunes
-    to the probed lists' partitions.  ``cents`` must be the matrix the
-    index was built with."""
+    the same per-list cogroup matmul as :func:`ivf_topk`.  ``cents``
+    must be the matrix the index was built with.
+
+    The index side is pruned to the probed lists BEFORE the cogroup via
+    a broadcast semi-join on the (≤ n_lists-row) distinct probed-list
+    set — a bare cogroup would exchange the FULL index per batch; the
+    semi-join's list_id filter is what lets a list_id-partitioned index
+    table skip unprobed partitions (dynamic partition pruning), making
+    batch cost ∝ the probed lists' rows, not the corpus.  Pruning only
+    drops lists with zero probes, whose cogroups emit nothing — the
+    result set is bit-identical."""
     from ..session import ensure_parallelism
 
     queries = ensure_parallelism(queries)
@@ -487,6 +483,8 @@ def ivf_topk_against_index(queries: DataFrame, index: DataFrame,
         F.col(qvec_col).alias("qv"),
         F.explode(_probe_udf(cents, nprobe)(F.col(qvec_col)))
         .alias("list_id"))
+    probed_lists = probes.select("list_id").distinct()
+    pruned = index.join(F.broadcast(probed_lists), "list_id", "left_semi")
     return _score_lists_cogrouped(
-        index, probes, k, queries.schema[qid_col].dataType,
+        pruned, probes, k, queries.schema[qid_col].dataType,
         index.schema["nbr_id"].dataType)

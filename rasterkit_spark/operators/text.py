@@ -79,7 +79,8 @@ def count_occurrences(text: Column, needle: str) -> Column:
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
-                  passthrough: tuple[str, ...] = ()) -> DataFrame:
+                  passthrough: tuple[str, ...] = (),
+                  id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword-ratio quality heuristics.
 
     All ratios are scaled to integers (×1e6, floor) so float formatting can
@@ -104,7 +105,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
              - F.when(stop_ratio < 0.05, 15.0).otherwise(0.0)
              - F.when(mean_word_len > 12.0, 10.0).otherwise(0.0))
     return docs.select(
-        "doc_id",
+        id_col,
         n_chars.cast("long").alias("n_chars_m"),
         tokens.cast("long").alias("ws_tokens"),
         F.floor(punct_ratio * 1e6).cast("long").alias("punct_ratio_e6"),

@@ -215,6 +215,49 @@ def near_dup_ingest_stream(docs_stream: DataFrame, index: DataFrame,
             .trigger(availableNow=True))
 
 
+_SESSION_COLS = ["user_id", "session_seq", "n_events", "duration_sec",
+                 "closed"]
+
+
+def _session_timeout_close(uid, state_tuple):
+    """Timeout transition of the sessionization state machine: close the
+    open session (if any) and leave a seq-preserving TOMBSTONE (n=0) —
+    evicting the state would restart session_seq at 1 and collide with
+    sessions already emitted for this user.  Returns (out_rows,
+    new_state|None); pure, unit-tested without Spark."""
+    seq, start, last, n = state_tuple
+    if n <= 0:
+        return [], None
+    return ([(uid, seq, n, last - start, True)], (seq, 0, last, 0))
+
+
+def _session_steps(uid, es_sorted, state_tuple, gap_sec):
+    """Event-arrival transition: merge ts-sorted epoch seconds into the
+    open session, closing on every gap > gap_sec (strictly).  A
+    tombstone state (n=0) contributes only its seq counter.  Returns
+    (out_rows, new_state); pure, unit-tested without Spark."""
+    import numpy as np
+    seq, start, last, n = state_tuple if state_tuple else (0, 0, 0, 0)
+    have = state_tuple is not None and n > 0
+    # break BEFORE event i when the gap from the previous event (or the
+    # open session's last event) strictly exceeds gap_sec
+    prev = np.concatenate(([last if have else np.iinfo(np.int64).min],
+                           es_sorted[:-1]))
+    brk = (es_sorted - prev) > gap_sec
+    if not have:
+        brk[0] = True
+    out = []
+    for i, e in enumerate(es_sorted):
+        if brk[i]:
+            if have:  # the previous session just closed
+                out.append((uid, seq, n, last - start, True))
+            seq, start, n, have = seq + 1, int(e), 0, True
+        n += 1
+        last = int(e)
+    out.append((uid, seq, n, last - start, False))
+    return out, (seq, start, last, n)
+
+
 def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800,
                       idle_timeout_ms: int | None = None) -> DataFrame:
     """Streaming gap sessionization (the §2.10 stateful analog of
@@ -230,13 +273,26 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800,
     batch-monotonically (an append log; within a batch any order is
     fine).  ``idle_timeout_ms`` closes open sessions after that much
     processing-time silence (continuous jobs); leave ``None`` for
-    drain-style runs (see running_type_stats for why).
+    drain-style runs (see running_type_stats for why).  A timeout-close
+    leaves a 4-long TOMBSTONE in the state (n=0) so the user's
+    session_seq keeps counting when they return — evicting it would
+    restart numbering at 1 and collide with already-emitted sessions;
+    with timeouts enabled state is therefore O(distinct users ever
+    seen), the price of stable numbering under eviction pressure.
 
-    State is O(1) per active user — the classic reason sessionization is
-    the canonical applyInPandasWithState example: a watermarked window
-    can't express "closes only on the NEXT event's gap"."""
+    Gap arithmetic runs on ``unix_timestamp(ts)`` computed JVM-side
+    (true epoch seconds, identical to the batch operator) — the tz-naive
+    timestamps Arrow hands the python worker are session-timezone wall
+    clocks, whose differences diverge from epoch differences across DST
+    transitions.
+
+    State is O(1) per active user (plus tombstones, above) — the classic
+    reason sessionization is the canonical applyInPandasWithState
+    example: a watermarked window can't express "closes only on the
+    NEXT event's gap"."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import functions as SF
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
     from pyspark.sql.types import (BooleanType, LongType, StructField,
@@ -259,11 +315,11 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800,
     def update(key, pdf_iter, state: GroupState):
         (uid,) = key
         if state.hasTimedOut:
-            seq, start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame([{
-                "user_id": uid, "session_seq": seq, "n_events": n,
-                "duration_sec": last - start, "closed": True}])
+            out, new_state = _session_timeout_close(uid, state.get)
+            if new_state is not None:
+                state.update(new_state)
+            if out:
+                yield pd.DataFrame(out, columns=_SESSION_COLS)
             return
         frames = [p for p in pdf_iter if len(p)]
         if not frames:
@@ -271,38 +327,22 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800,
                 state.setTimeoutDuration(idle_timeout_ms)
             return
         pdf = pd.concat(frames)
-        order = np.lexsort((pdf["event_id"].to_numpy(),
-                            pdf["ts"].to_numpy().astype("int64")))
-        es = (pdf["ts"].to_numpy().astype("int64") // 1_000_000_000)[order]
-        have = state.exists
-        seq, start, last, n = state.get if have else (0, 0, 0, 0)
-        # break BEFORE event i when the gap from the previous event
-        # (or the open session's last event) strictly exceeds gap_sec
-        prev = np.concatenate(([last if have else np.iinfo(np.int64).min],
-                               es[:-1]))
-        brk = (es - prev) > gap_sec
-        if not have:
-            brk[0] = True
-        out = []
-        for i, e in enumerate(es):
-            if brk[i]:
-                if have:  # the previous session just closed
-                    out.append((uid, seq, n, last - start, True))
-                seq, start, n, have = seq + 1, int(e), 0, True
-            n += 1
-            last = int(e)
-        state.update((seq, start, last, n))
+        es_all = pdf["_es"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pdf["event_id"].to_numpy(), es_all))
+        out, new_state = _session_steps(
+            uid, es_all[order],
+            state.get if state.exists else None, gap_sec)
+        state.update(new_state)
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        out.append((uid, seq, n, last - start, False))
-        yield pd.DataFrame(out, columns=["user_id", "session_seq",
-                                         "n_events", "duration_sec",
-                                         "closed"])
+        yield pd.DataFrame(out, columns=_SESSION_COLS)
 
     timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
                     if idle_timeout_ms is not None
                     else GroupStateTimeout.NoTimeout)
-    return (events_stream
+    withes = events_stream.select(
+        "user_id", "event_id", SF.unix_timestamp("ts").alias("_es"))
+    return (withes
             .groupBy("user_id")
             .applyInPandasWithState(
                 update, out_schema, state_schema, "update", timeout_conf))

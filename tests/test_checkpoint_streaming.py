@@ -285,3 +285,28 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert got == want
     # non-vacuity: some sessions must have closed mid-stream
     assert out.closed.any() and len(want) > 1
+
+
+def test_sessionize_timeout_keeps_seq_counter():
+    """The review-found collision: a timeout-close must NOT reset
+    session_seq — the tombstone carries the counter so the user's next
+    session numbers after the closed ones (pure state-machine test)."""
+    import numpy as np
+
+    from rasterkit_spark.streaming.jobs import (_session_steps,
+                                                _session_timeout_close)
+
+    # three sessions arrive, gap 100: [0,10], [500], [1000]
+    out, st = _session_steps(7, np.array([0, 10, 500, 1000]), None, 100)
+    assert [r[1] for r in out] == [1, 2, 3]       # seq per emitted row
+    assert st == (3, 1000, 1000, 1)               # session 3 open
+    # idle timeout closes session 3, leaving a seq-preserving tombstone
+    closed, tomb = _session_timeout_close(7, st)
+    assert closed == [(7, 3, 1, 0, True)]
+    assert tomb == (3, 0, 1000, 0)
+    # a second timeout on the tombstone emits nothing and keeps it
+    assert _session_timeout_close(7, tomb) == ([], None)
+    # the user returns: the new session must be seq 4, NOT 1
+    out2, st2 = _session_steps(7, np.array([5000, 5020]), tomb, 100)
+    assert out2 == [(7, 4, 2, 20, False)]
+    assert st2 == (4, 5000, 5020, 2)
