@@ -1662,22 +1662,11 @@ def _doc_media_spans_oracle_sql() -> str:
 
 
 def _video_fixture():
-    """Deterministic MJPEG/AVI fixtures: 3 videos of 5-7 gradient frames,
-    built from the in-repo JPEG + AVI codecs (pure numpy/stdlib, no
-    SparkSession — the oracle side reuses it)."""
-    import numpy as np
-
-    from rasterkit_spark.io import avicodec as AC
-    from rasterkit_spark.io import jpegcodec as JC
-    vids = []
-    for v in range(3):
-        jpegs = []
-        for i in range(5 + v):
-            y, x = np.mgrid[0:32, 0:48]
-            px = ((x * 3 + y * 7 + i * 31 + v * 11) % 256).astype(np.uint8)
-            jpegs.append(JC.write_jpeg(px, quality=85))
-        vids.append((f"vid{v}", AC.write_mjpeg_avi(jpegs, 48, 32), jpegs))
-    return vids
+    """Deterministic MJPEG/AVI fixtures: 3 videos of 5-7 gradient frames
+    (fixtures/video.py — the single builder the codec pytest suite also
+    uses; the oracle side reuses it, no SparkSession needed)."""
+    from rasterkit_spark.fixtures.video import video_catalog
+    return video_catalog()
 
 
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

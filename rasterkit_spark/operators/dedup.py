@@ -1013,14 +1013,14 @@ def dedup_blocks(docs: DataFrame, block_words: int = 32,
 def bloom_bits_from_hashes(hashes: DataFrame, m_bits: int,
                            k: int = 4) -> bytes:
     """Distributed Bloom-filter build over an int64 hash column ``h``:
-    each partition sets its bits into a local m_bits/8-byte bitmap
+    each partition sets its bits into a local ceil(m_bits/8)-byte bitmap
     (mapInPandas, numpy-vectorized double hashing), the driver ORs the
     per-partition bitmaps.  Driver memory is bounded by
-    (m_bits/8) × n_partitions bytes of bitmaps, never by row count."""
+    ceil(m_bits/8) × n_partitions bytes of bitmaps, never by row count."""
     import pandas as _pd
 
     def build(it):
-        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
         for pdf in it:
             h = pdf["h"].to_numpy(dtype=np.int64)
             h1 = h & ((1 << 30) - 1)
@@ -1032,7 +1032,7 @@ def bloom_bits_from_hashes(hashes: DataFrame, m_bits: int,
         yield _pd.DataFrame({"bits": [bits.tobytes()]})
 
     parts = hashes.select("h").mapInPandas(build, "bits binary").collect()
-    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    out = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
     for r in parts:
         out |= np.frombuffer(r.bits, dtype=np.uint8)
     return out.tobytes()

@@ -219,9 +219,9 @@ def _assemble(pdf: pd.DataFrame, emit_window: bool = True) -> pd.DataFrame:
 
 def decode_and_clip(joined: DataFrame, emit_window: bool = True) -> DataFrame:
     """Group chunks back into clipped windows (Arrow-batched)."""
-    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
-            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
-            "samples_per_pixel", "tile_x", "tile_y", "blob",
+    cols = ["query_id", "media_ref", "level", "region_x", "region_y",
+            "region_w", "region_h", "chunk_w", "chunk_h", "compression",
+            "predictor", "samples_per_pixel", "tile_x", "tile_y", "blob",
             "new_origin_x", "new_origin_y"]
     return (joined.select(*cols)
             .groupBy("query_id", "media_ref")
@@ -290,9 +290,9 @@ def decode_and_clip_mapside(joined_sorted: DataFrame,
     """Map-side window assembly — requires rows already partitioned AND
     sorted by (query_id, media_ref) (the broadcast-tiles regime below
     guarantees it).  No group shuffle: the blobs never move."""
-    cols = ["query_id", "media_ref", "region_x", "region_y", "region_w",
-            "region_h", "chunk_w", "chunk_h", "compression", "predictor",
-            "samples_per_pixel", "tile_x", "tile_y", "blob",
+    cols = ["query_id", "media_ref", "level", "region_x", "region_y",
+            "region_w", "region_h", "chunk_w", "chunk_h", "compression",
+            "predictor", "samples_per_pixel", "tile_x", "tile_y", "blob",
             "new_origin_x", "new_origin_y"]
     return joined_sorted.select(*cols).mapInPandas(
         lambda it: _assemble_stream(it, emit_window), WINDOW_SCHEMA)

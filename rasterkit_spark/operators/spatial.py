@@ -421,8 +421,14 @@ def _zonal_partials_lookup(pdf_iter, tile_map):
     that is |rows| × blob-size of pure memory traffic, measured as a
     ~5 s parallelism-independent wall on the big-raster config (the bus
     saturates — stream ceiling ~0.27 — so it cannot scale)."""
+    from collections import OrderedDict
+
     from .extract import _decode_chunk_cached
-    local: dict = {}
+    # bounded LRU (not a bare dict): a task whose key rows touch most of
+    # a near-ceiling tile map would otherwise retain every decoded array
+    # for the task's lifetime — multi-GB growth the documented
+    # one-chunk-peak contract forbids
+    local: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
     def get_chunk(row, comp, pred, cw, ch_, spp):
         key = (row.media_ref, int(getattr(row, "level", 0) or 0),
@@ -435,9 +441,18 @@ def _zonal_partials_lookup(pdf_iter, tile_map):
             chunk = _decode_chunk_cached(blob, comp, pred, cw, ch_, spp,
                                          key[0], key[2], key[3], key[1])
             local[key] = chunk
+            if len(local) > _ZONAL_TASK_MEMO_CAP:
+                local.popitem(last=False)
+        else:
+            local.move_to_end(key)
         return chunk
 
     yield from _zonal_tile_partials(pdf_iter, get_chunk)
+
+
+#: per-task memo caps: decoded chunks (≤ cap × chunk bytes; 256-px u8
+#: tiles → ≤ 16 MB) and post-luma 2-D views/arrays (same order)
+_ZONAL_TASK_MEMO_CAP = 256
 
 
 #: per-worker memo of the per-TILE CRS-converted pixel-center arrays:
@@ -499,7 +514,17 @@ def _zonal_tile_partials(pdf_iter, chunk_getter=None):
     # per-worker decode memo (extract._decode_chunk_cached): many zones
     # overlap the same tile, and the hot-zone replication re-decodes it
     # once per (zone, tile) row without the cache
+    from collections import OrderedDict
+
     from .extract import _decode_chunk_cached
+
+    # per-task memo of the POST-luma 2-D chunk: the luma collapse is
+    # zone-independent, and converting the full 3·cw·ch chunk per
+    # (zone, tile) row re-created exactly the per-row full-chunk memory
+    # traffic the decode memo removed.  Keyed by tile coords — safe
+    # within one task (one job, one tile table); the cross-job global
+    # cache is the one that needs the blob crc.
+    gray: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
     for pdf in pdf_iter:
         out = []
@@ -510,21 +535,28 @@ def _zonal_tile_partials(pdf_iter, chunk_getter=None):
                 raise ValueError(
                     f"zonal_stats: unsupported samples_per_pixel={spp} "
                     f"for {row.media_ref} (expected 1 or 3)")
-            if chunk_getter is not None:
-                chunk = chunk_getter(row, int(row.compression),
-                                     int(row.predictor), cw, ch, spp)
-                if chunk is None:
-                    continue
+            gkey = (row.media_ref, int(getattr(row, "level", 0) or 0),
+                    int(row.tile_x), int(row.tile_y))
+            chunk = gray.get(gkey)
+            if chunk is None:
+                if chunk_getter is not None:
+                    raw = chunk_getter(row, int(row.compression),
+                                       int(row.predictor), cw, ch, spp)
+                    if raw is None:
+                        continue
+                else:
+                    raw = _decode_chunk_cached(
+                        bytes(row.blob), int(row.compression),
+                        int(row.predictor), cw, ch, spp,
+                        row.media_ref, int(row.tile_x), int(row.tile_y),
+                        int(getattr(row, "level", 0) or 0))
+                chunk = (K.rgb_to_luma8(raw.reshape(-1, cw, 3))
+                         if spp == 3 else raw.reshape(-1, cw))
+                gray[gkey] = chunk
+                if len(gray) > _ZONAL_TASK_MEMO_CAP:
+                    gray.popitem(last=False)
             else:
-                chunk = _decode_chunk_cached(
-                    bytes(row.blob), int(row.compression),
-                    int(row.predictor), cw, ch, spp,
-                    row.media_ref, int(row.tile_x), int(row.tile_y),
-                    int(getattr(row, "level", 0) or 0))
-            if spp == 3:
-                chunk = K.rgb_to_luma8(chunk.reshape(-1, cw, 3))
-            else:
-                chunk = chunk.reshape(-1, cw)
+                gray.move_to_end(gkey)
             rx, ry = int(row.region_x), int(row.region_y)
             rw, rh = int(row.region_w), int(row.region_h)
             tx0, ty0 = int(row.tile_x) * cw, int(row.tile_y) * ch

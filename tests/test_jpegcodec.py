@@ -87,14 +87,10 @@ def test_multimodal_real_jpeg_decode(spark):
 
 
 def _mjpeg_fixture(n_frames=7, w=48, h=32):
-    """Deterministic MJPEG AVI: each frame a distinct gradient."""
-    from rasterkit_spark.io import avicodec as AC
-    jpegs = []
-    for i in range(n_frames):
-        y, x = np.mgrid[0:h, 0:w]
-        px = ((x * 3 + y * 5 + i * 29) % 256).astype(np.uint8)
-        jpegs.append(JC.write_jpeg(px, quality=90))
-    return AC.write_mjpeg_avi(jpegs, w, h, fps=5), jpegs
+    """Deterministic MJPEG AVI from THE shared builder (fixtures/video.py
+    — the same one the driver-gate video query and its oracle use)."""
+    from rasterkit_spark.fixtures.video import gradient_mjpeg
+    return gradient_mjpeg(n_frames, w, h, quality=90, salt=1)
 
 
 def test_avi_mjpeg_roundtrip():

@@ -285,7 +285,9 @@ def test_contamination_bloom_saturated_filter_still_exact(spark):
     bench = docs.filter("doc_id % 4 = 0")
     exact = DD.contamination_check(train, bench, n=2).toPandas() \
         .sort_values("doc_id").reset_index(drop=True)
+    # 1001 is deliberately NOT a multiple of 8: the bitmap must round up
+    # to whole bytes or the last partial byte's indices go out of bounds
     bloom = DD.contamination_check_bloom(train, bench, n=2,
-                                         m_bits=1 << 10, k=4).toPandas() \
+                                         m_bits=1001, k=4).toPandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(exact, bloom)

@@ -7,12 +7,11 @@ Replicates bench.py's exact input construction for the two queries and
 times ONE query per subprocess run, with the implementation tree chosen
 by --tree (a path whose rasterkit_spark package is imported — point it
 at /tmp/r3tree for the round-3-end snapshot, or the repo root for HEAD).
-Variant toggles (env) let single changes be switched off in the HEAD
-tree:
-
-  KNN_NO_CKPT=1     skip the final localCheckpoint(eager=True)
-  KNN_NO_CROSS=1    disable the exhaustive-round crossJoin (use cells)
-  ZONAL_NO_MEMO=1   bypass the per-worker decode memo in zonal partials
+Single-change attribution is done by EDITING the tree under test between
+runs (git worktree / stash), not by env toggles — an earlier draft of
+this header advertised KNN_NO_CKPT/KNN_NO_CROSS/ZONAL_NO_MEMO toggles
+that were never implemented; they are gone so a toggle set in the
+environment can't silently measure the unmodified tree.
 
 Usage:
   python tools/bisect_parity_r5.py --tree /root/repo --query knn
