@@ -782,6 +782,58 @@ def _dedup_blocks_oracle_sql() -> str:
     FROM tot t LEFT JOIN kept k USING (doc_id)"""
 
 
+def _q_materialize_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed training sequences themselves (concat-with-EOS, cut at
+    128 tokens per source shard) — the writer-side complement of
+    pack_sequences, stitched from per-doc fragments in one
+    (shard, seq_id) groupBy."""
+    from rasterkit_spark.operators import text as TX
+    _register(spark, sf_dir)
+    return TX.materialize_sequences(spark.table("documents"), seq_len=128)
+
+
+def _materialize_sequences_oracle_sql() -> str:
+    """Replay: per-doc token slot (words + EOS), per-shard cumsum window,
+    per-sequence list_slice fragments, string_agg stitched in
+    fragment-start order."""
+    return """
+    WITH d AS (SELECT doc_id, source AS shard, TRIM(text) AS t
+               FROM documents),
+    tok AS (SELECT doc_id, shard,
+                   CASE WHEN t = '' THEN ['</s>']
+                        ELSE list_append(string_split(t, ' '), '</s>')
+                   END AS toks
+            FROM d),
+    c AS (SELECT *, SUM(len(toks)) OVER (PARTITION BY shard
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_tok
+          FROM tok),
+    s AS (SELECT shard, toks, end_tok - len(toks) AS start_tok FROM c),
+    e AS (SELECT shard, toks, start_tok,
+                 unnest(generate_series(
+                     CAST(FLOOR(start_tok / 128.0) AS BIGINT),
+                     CAST(FLOOR((start_tok + len(toks) - 1) / 128.0)
+                          AS BIGINT))) AS seq_id
+          FROM s),
+    frag AS (SELECT shard, seq_id,
+                    start_tok + GREATEST(seq_id * 128 - start_tok, 0)
+                        AS frag_start,
+                    list_slice(toks,
+                        CAST(GREATEST(seq_id * 128 - start_tok, 0) + 1
+                             AS INT),
+                        CAST(LEAST((seq_id + 1) * 128 - start_tok,
+                                   len(toks)) AS INT)) AS frag
+             FROM e),
+    f2 AS (SELECT * FROM frag WHERE len(frag) > 0),
+    agg AS (SELECT shard, seq_id,
+                   string_agg(array_to_string(frag, ' '), ' '
+                              ORDER BY frag_start) AS seq_text,
+                   SUM(len(frag)) AS n_tokens
+            FROM f2 GROUP BY shard, seq_id)
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, seq_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM agg"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining sequence-packing index (concat-with-EOS, cut at 128
     tokens, packed per source shard)."""
@@ -1808,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _q_pack_sequences
     q["corpus_pipeline"] = _q_corpus_pipeline    # composed end-to-end prep
     q["ann_ivf_incremental"] = _q_ann_ivf_incremental
+    q["materialize_sequences"] = _q_materialize_sequences
     return _reorder_for_gate(q)
 
 
@@ -1822,6 +1875,7 @@ GATE_PRIORITY = [
     # round-5 additions (new surface verifies before long-green rows)
     "video_frame_sample", "dedup_blocks", "contamination_bloom",
     "pack_sequences", "corpus_pipeline", "ann_ivf_incremental",
+    "materialize_sequences",
 ]
 
 #: rows that may rotate OUT of the 50-row window when the registry grows:
@@ -1837,6 +1891,9 @@ GATE_TAIL = [
     # long green AND their exact formulas are re-verified end-to-end by
     # the corpus_pipeline gate row's CTE replay every round
     "quality_score", "stratified_sample",
+    # PORTABLE_SQL literal (identical SQL text runs on both engines —
+    # near-tautological as an oracle row), long green since round 1
+    "semi_anti_join",
 ]
 
 
@@ -2269,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_blocks"] = _dedup_blocks_oracle_sql()
     o["pack_sequences"] = _pack_sequences_oracle_sql()
     o["corpus_pipeline"] = _corpus_pipeline_oracle_sql()
+    o["materialize_sequences"] = _materialize_sequences_oracle_sql()
     o["chunk_documents"] = _chunk_documents_oracle_sql()
     o["corpus_stats"] = _CORPUS_STATS_ORACLE
     o["skew_report"] = _SKEW_REPORT_ORACLE

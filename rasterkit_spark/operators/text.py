@@ -450,3 +450,60 @@ def pack_sequences(docs: DataFrame, seq_len: int = 1024,
         (F.col("seq_last") - F.col("seq_first") + 1).cast("long")
         .alias("n_seqs"),
         *[F.col(c) for c in passthrough])
+
+
+def materialize_sequences(docs: DataFrame, seq_len: int = 1024,
+                          eos: str = "</s>", text_col: str = "text",
+                          id_col: str = "doc_id",
+                          shard_col: str = "source") -> DataFrame:
+    """The packed training sequences themselves → (shard, seq_id,
+    seq_text, n_tokens): per shard, docs concatenate in id order with one
+    ``eos`` token between them and the stream is cut every ``seq_len``
+    tokens (the writer-side complement of :func:`pack_sequences`, which
+    returns only the per-doc index).
+
+    Plan: the per-doc window offsets from pack_sequences' cumsum, then a
+    narrow posexplode of each doc over the sequences it spans (slice of
+    its word array per sequence — pure higher-order functions), then ONE
+    groupBy (shard, seq_id) that stitches each sequence from its ≤
+    (docs-spanning-it) fragments.  No sequence ever holds more than
+    seq_len tokens, so group state is bounded by seq_len regardless of
+    corpus size; the shuffle key (shard, seq_id) is uniform by
+    construction.  The final sequence of a shard may be short (no
+    padding is added — writers pad with their own pad token)."""
+    idx = pack_sequences(docs.withColumn("_w",
+                                         F.split(F.trim(F.col(text_col)),
+                                                 " ")),
+                         seq_len, text_col, id_col, shard_col,
+                         passthrough=("_w",))
+    # doc's stream slot = its words + one EOS; empty docs contribute
+    # only the EOS (split('') yields [''], dropped here)
+    toks = F.when(F.col("n_tokens") == 0, F.array(F.lit(eos))) \
+        .otherwise(F.concat(F.col("_w"), F.array(F.lit(eos))))
+    d = idx.withColumn("_t", toks)
+    seqs = F.sequence(F.col("seq_first"),
+                      # the EOS slot may spill one sequence past seq_last
+                      # (seq_last covers only the doc BODY)
+                      F.floor((F.col("start_tok") + F.col("n_tokens"))
+                              / seq_len).cast("long"))
+    e = d.select("shard", F.col("start_tok"), F.col("_t"),
+                 F.explode(seqs).alias("seq_id"))
+    # slice of this doc's slot tokens that lands in sequence seq_id
+    lo = F.greatest(F.col("seq_id") * seq_len - F.col("start_tok"),
+                    F.lit(0))
+    hi = F.least((F.col("seq_id") + 1) * seq_len - F.col("start_tok"),
+                 F.size("_t"))
+    frag = e.select(
+        "shard", "seq_id",
+        (F.col("start_tok") + lo).alias("frag_start"),
+        F.slice("_t", (lo + 1).cast("int"),
+                F.greatest(hi - lo, F.lit(0)).cast("int")).alias("frag")) \
+        .filter(F.size("frag") > 0)
+    agg = frag.groupBy("shard", "seq_id").agg(
+        F.array_sort(F.collect_list(F.struct("frag_start", "frag")))
+        .alias("parts"))
+    flat = F.flatten(F.transform(F.col("parts"), lambda s: s["frag"]))
+    return agg.select(
+        "shard", F.col("seq_id").cast("long").alias("seq_id"),
+        F.array_join(flat, " ").alias("seq_text"),
+        F.size(flat).cast("long").alias("n_tokens"))

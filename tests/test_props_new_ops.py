@@ -291,3 +291,38 @@ def test_contamination_bloom_saturated_filter_still_exact(spark):
                                          m_bits=1001, k=4).toPandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_materialize_sequences_equals_bruteforce_packer(spark):
+    """The packed sequences must equal concat-docs-with-EOS-then-cut
+    computed in plain Python per shard."""
+    rng = np.random.default_rng(83)
+    rows = [dict(doc_id=i, source=f"s{i % 2}", text=" ".join(
+        f"t{i}x{j}" for j in range(int(rng.integers(0, 40)))))
+        for i in range(40)]
+    rows[5]["text"] = ""  # empty doc contributes only its EOS slot
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    L = 16
+    got = TX.materialize_sequences(docs, seq_len=L, eos="</s>") \
+        .toPandas().set_index(["shard", "seq_id"]).sort_index()
+
+    want = {}
+    for shard in ("s0", "s1"):
+        stream = []
+        for r in sorted((r for r in rows if r["source"] == shard),
+                        key=lambda r: r["doc_id"]):
+            words = r["text"].split() if r["text"].strip() else []
+            stream += words + ["</s>"]
+        for s in range(0, (len(stream) + L - 1) // L):
+            chunk = stream[s * L:(s + 1) * L]
+            want[(shard, s)] = (" ".join(chunk), len(chunk))
+
+    assert set(got.index) == set(want)
+    for key, (text, n) in want.items():
+        assert got.loc[key, "seq_text"] == text, key
+        assert got.loc[key, "n_tokens"] == n, key
+    # all but each shard's final sequence are exactly full
+    for shard in ("s0", "s1"):
+        seqs = sorted(k[1] for k in want if k[0] == shard)
+        for s in seqs[:-1]:
+            assert want[(shard, s)][1] == L
