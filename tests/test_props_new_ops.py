@@ -326,3 +326,48 @@ def test_materialize_sequences_equals_bruteforce_packer(spark):
         seqs = sorted(k[1] for k in want if k[0] == shard)
         for s in seqs[:-1]:
             assert want[(shard, s)][1] == L
+
+
+def test_dedup_blocks_random_block_sizes(spark):
+    """dedup_blocks equals brute force across several block sizes and a
+    second vocab shape (multi-size regression for the slice/ceil
+    arithmetic)."""
+    rng = np.random.default_rng(97)
+    vocab = [f"b{i}" for i in range(5)]
+    rows = [dict(doc_id=i, text=" ".join(
+        vocab[int(j)] for j in rng.integers(0, 5, int(rng.integers(1, 23)))))
+        for i in range(18)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    for bw in (2, 5, 7):
+        got = DD.dedup_blocks(docs, block_words=bw).toPandas() \
+            .set_index("doc_id")
+        want = _brute_dedup_blocks(rows, bw)
+        for d, (tot, kept, text) in want.items():
+            row = got.loc[d]
+            assert (row.n_blocks, row.n_kept, row.text_kept) == \
+                (tot, kept, text), f"bw={bw} doc={d}"
+
+
+def test_pack_and_materialize_conserve_tokens(spark):
+    """Conservation invariants tying the index op to the writer op:
+    per shard, materialized sequence tokens sum to Σ(doc tokens + 1 EOS),
+    and the index's max seq_last equals the writer's max seq_id."""
+    rng = np.random.default_rng(101)
+    rows = [dict(doc_id=i, source=f"s{i % 2}", text=" ".join(
+        "w" for _ in range(int(rng.integers(0, 90)))))
+        for i in range(24)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    L = 32
+    idx = TX.pack_sequences(docs, seq_len=L).toPandas()
+    mat = TX.materialize_sequences(docs, seq_len=L).toPandas()
+    for shard, g in idx.groupby("shard"):
+        slot_tokens = int((g.n_tokens + 1).sum())
+        m = mat[mat.shard == shard]
+        assert int(m.n_tokens.sum()) == slot_tokens
+        # the EOS slot may spill one sequence past the index's seq_last
+        # (seq_last covers only the doc BODY) — never more
+        assert int(g.seq_last.max()) <= int(m.seq_id.max()) \
+            <= int(g.seq_last.max()) + 1
+        # every non-final sequence is exactly full
+        full = m.sort_values("seq_id").iloc[:-1]
+        assert (full.n_tokens == L).all()
