@@ -467,12 +467,16 @@ def ivf_topk_against_index(queries: DataFrame, index: DataFrame,
     the same per-list cogroup matmul as :func:`ivf_topk`.  ``cents``
     must be the matrix the index was built with.
 
-    The index side is pruned to the probed lists BEFORE the cogroup via
-    a broadcast semi-join on the (≤ n_lists-row) distinct probed-list
-    set — a bare cogroup would exchange the FULL index per batch; the
-    semi-join's list_id filter is what lets a list_id-partitioned index
-    table skip unprobed partitions (dynamic partition pruning), making
-    batch cost ∝ the probed lists' rows, not the corpus.  Pruning only
+    The index side is pruned to the probed lists BEFORE the cogroup —
+    a bare cogroup would exchange the FULL index per batch.  The probed
+    set (≤ n_lists ints) is collected to the driver in one tiny action
+    (same bounded-collect contract as fit_centroids) and applied as a
+    STATIC ``isin`` predicate, so a list_id-partitioned index table
+    skips unprobed partitions at planning time and the index scans
+    exactly once; batch cost is ∝ the probed lists' rows, not the
+    corpus.  The probe pass itself runs twice (once for the collect,
+    once inside the cogroup) — ∝ |batch|, negligible next to a corpus
+    scan, and cheaper than persisting the probe table.  Pruning only
     drops lists with zero probes, whose cogroups emit nothing — the
     result set is bit-identical."""
     from ..session import ensure_parallelism
@@ -483,8 +487,10 @@ def ivf_topk_against_index(queries: DataFrame, index: DataFrame,
         F.col(qvec_col).alias("qv"),
         F.explode(_probe_udf(cents, nprobe)(F.col(qvec_col)))
         .alias("list_id"))
-    probed_lists = probes.select("list_id").distinct()
-    pruned = index.join(F.broadcast(probed_lists), "list_id", "left_semi")
+    probed = [r["list_id"] for r in
+              probes.select("list_id").distinct().collect()]
+    pruned = index.filter(F.col("list_id").isin(probed)) if probed \
+        else index.filter(F.lit(False))
     return _score_lists_cogrouped(
         pruned, probes, k, queries.schema[qid_col].dataType,
         index.schema["nbr_id"].dataType)

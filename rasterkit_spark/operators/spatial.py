@@ -421,38 +421,29 @@ def _zonal_partials_lookup(pdf_iter, tile_map):
     that is |rows| × blob-size of pure memory traffic, measured as a
     ~5 s parallelism-independent wall on the big-raster config (the bus
     saturates — stream ceiling ~0.27 — so it cannot scale)."""
-    from collections import OrderedDict
-
     from .extract import _decode_chunk_cached
-    # bounded LRU (not a bare dict): a task whose key rows touch most of
-    # a near-ceiling tile map would otherwise retain every decoded array
-    # for the task's lifetime — multi-GB growth the documented
-    # one-chunk-peak contract forbids
-    local: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
+    # no per-task raw-chunk layer here: the caller's post-luma memo
+    # (bounded by bytes) fronts this getter, so it only runs on gray
+    # misses — a raw-chunk LRU in between would retain up to 3× the luma
+    # bytes for ~no extra hit rate; cross-task reuse is the global
+    # crc-keyed _DECODE_CACHE's job
     def get_chunk(row, comp, pred, cw, ch_, spp):
         key = (row.media_ref, int(getattr(row, "level", 0) or 0),
                int(row.tile_x), int(row.tile_y))
-        chunk = local.get(key)
-        if chunk is None:
-            blob = tile_map.get(key)
-            if blob is None:
-                return None          # OOB cover: inner-join semantics
-            chunk = _decode_chunk_cached(blob, comp, pred, cw, ch_, spp,
-                                         key[0], key[2], key[3], key[1])
-            local[key] = chunk
-            if len(local) > _ZONAL_TASK_MEMO_CAP:
-                local.popitem(last=False)
-        else:
-            local.move_to_end(key)
-        return chunk
+        blob = tile_map.get(key)
+        if blob is None:
+            return None              # OOB cover: inner-join semantics
+        return _decode_chunk_cached(blob, comp, pred, cw, ch_, spp,
+                                    key[0], key[2], key[3], key[1])
 
     yield from _zonal_tile_partials(pdf_iter, get_chunk)
 
 
-#: per-task memo caps: decoded chunks (≤ cap × chunk bytes; 256-px u8
-#: tiles → ≤ 16 MB) and post-luma 2-D views/arrays (same order)
-_ZONAL_TASK_MEMO_CAP = 256
+#: per-task post-luma memo budget in BYTES (an entry-count cap lets 256
+#: large-strip arrays grow to GBs; bytes are what the executor runs out
+#: of).  64 MB ≈ a thousand 256-px tiles or sixteen 2048² luma strips.
+_ZONAL_TASK_MEMO_BYTES = 64 * 1024 * 1024
 
 
 #: per-worker memo of the per-TILE CRS-converted pixel-center arrays:
@@ -502,8 +493,9 @@ def _tile_lonlat(media_ref, level, tx, ty, tx0, ty0, w, h,
 def _zonal_tile_partials(pdf_iter, chunk_getter=None):
     """mapInPandas: one partial (min/max/sum/count of the PIP-masked slice)
     per (zone, raster, tile) row.  No zone×raster window is ever
-    materialized — peak memory is one decoded chunk — and there is no
-    group fan-in: rows are independent, the final reduce is a groupBy.
+    materialized — peak memory is one decoded chunk plus the byte-capped
+    post-luma memo (_ZONAL_TASK_MEMO_BYTES) — and there is no group
+    fan-in: rows are independent, the final reduce is a groupBy.
     Pixel-center arithmetic is the exact expression the whole-window
     path used (ox + (global_px + 0.5)·scale), so results are bit-equal.
 
@@ -523,8 +515,11 @@ def _zonal_tile_partials(pdf_iter, chunk_getter=None):
     # (zone, tile) row re-created exactly the per-row full-chunk memory
     # traffic the decode memo removed.  Keyed by tile coords — safe
     # within one task (one job, one tile table); the cross-job global
-    # cache is the one that needs the blob crc.
+    # cache is the one that needs the blob crc.  Evicted by BYTES
+    # (_ZONAL_TASK_MEMO_BYTES): an entry-count cap would retain GBs of
+    # large strips and break the bounded-peak-memory contract.
     gray: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+    gray_bytes = 0
 
     for pdf in pdf_iter:
         out = []
@@ -553,8 +548,10 @@ def _zonal_tile_partials(pdf_iter, chunk_getter=None):
                 chunk = (K.rgb_to_luma8(raw.reshape(-1, cw, 3))
                          if spp == 3 else raw.reshape(-1, cw))
                 gray[gkey] = chunk
-                if len(gray) > _ZONAL_TASK_MEMO_CAP:
-                    gray.popitem(last=False)
+                gray_bytes += chunk.nbytes
+                while gray_bytes > _ZONAL_TASK_MEMO_BYTES and len(gray) > 1:
+                    _, ev = gray.popitem(last=False)
+                    gray_bytes -= ev.nbytes
             else:
                 gray.move_to_end(gkey)
             rx, ry = int(row.region_x), int(row.region_y)

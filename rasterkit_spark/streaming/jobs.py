@@ -340,7 +340,10 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800,
     timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
                     if idle_timeout_ms is not None
                     else GroupStateTimeout.NoTimeout)
-    withes = events_stream.select(
+    # null-ts rows are dropped JVM-side: unix_timestamp(NULL) reaches the
+    # worker as NaN and an int64 cast would kill the whole micro-batch;
+    # an event with no timestamp cannot be placed in any session
+    withes = events_stream.filter(SF.col("ts").isNotNull()).select(
         "user_id", "event_id", SF.unix_timestamp("ts").alias("_es"))
     return (withes
             .groupBy("user_id")
