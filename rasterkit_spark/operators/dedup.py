@@ -234,6 +234,17 @@ def shared_span_pairs(docs: DataFrame, min_len: int = 40,
         .select("id", "pos",
                 md5_int(F.col("t").substr(F.col("pos"),
                                           F.lit(L))).alias("g")))
+    # materialize the anchor table once: the self-join's two sides are
+    # separate subtrees (the same trap _band_signatures documents), and
+    # the planner additionally mis-estimates the post-explode cardinality
+    # from the doc-count stats and JVM-BROADCASTS one fully-exploded gram
+    # side (measured round 6: the |text|-anchor explode + per-position
+    # md5 ran FOUR times per call — 2 sides × the spans/anchors branches —
+    # with one copy shipped as a broadcast that dies at the 8 GB cap at
+    # corpus scale).  After the checkpoint both sides read the same
+    # ~24 B/row (id, pos, g) blocks and the join plans from EXACT size
+    # stats; the block is freed by the ContextCleaner on GC.
+    grams = grams.localCheckpoint(eager=True)
     if max_gram_docs is not None:
         keep = (grams.groupBy("g")
                 .agg(F.countDistinct("id").alias("df"))
@@ -251,14 +262,13 @@ def shared_span_pairs(docs: DataFrame, min_len: int = 40,
     runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w))
             .groupBy("id_a", "id_b", "diag", "grp")
             .agg(F.count("*").alias("k")))
-    spans = runs.groupBy("id_a", "id_b").agg(
-        F.max(F.col("k") + (L - 1)).alias("max_span_len"))
-    anchors = m.groupBy("id_a", "id_b").agg(
-        F.count("*").alias("n_anchors"))
-    return spans.join(anchors, ["id_a", "id_b"]) \
-                .select("id_a", "id_b",
-                        F.col("max_span_len").cast("long"),
-                        F.col("n_anchors").cast("long"))
+    # n_anchors = Σ runs' k per pair — folding it into the same
+    # aggregation chain consumes the anchor-match table ONCE; the old
+    # separate anchors groupBy + equi-join re-computed the entire gram
+    # join a second time (and shuffled it twice more)
+    return runs.groupBy("id_a", "id_b").agg(
+        F.max(F.col("k") + (L - 1)).cast("long").alias("max_span_len"),
+        F.sum("k").cast("long").alias("n_anchors"))
 
 
 # ---------------------------------------------------------------------------

@@ -336,13 +336,6 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
         regions = resolve_regions(queries, catalog)
     keys = expand_tile_keys(regions, level=level)
     if broadcast_tiles:
-        # explicit partition count: the key rows are tiny (no blobs yet),
-        # so AQE would coalesce the shuffle to ~1 partition by byte size —
-        # but the DOWNSTREAM per-row cost (decode+assembly) is huge, and a
-        # coalesced shuffle serializes the whole decode onto one task
-        n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
-        k = keys.repartition(n_parts, "query_id") \
-            .sortWithinPartitions("query_id", "media_ref")
         # size the blobs with a cluster-side aggregate BEFORE any driver
         # collect: collecting an over-ceiling tile table to *measure* it
         # would OOM the driver inside the guard itself
@@ -350,6 +343,14 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
             F.coalesce(F.sum(F.length("blob")), F.lit(0)).alias("b")
         ).collect()[0]["b"]
         if total <= MAX_PY_TILE_BROADCAST:
+            # explicit partition count: the key rows are tiny (no blobs
+            # yet), so AQE would coalesce the shuffle to ~1 partition by
+            # byte size — but the DOWNSTREAM per-row cost (decode+assembly)
+            # is huge, and a coalesced shuffle serializes the whole decode
+            # onto one task
+            n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
+            k = keys.repartition(n_parts, "query_id") \
+                .sortWithinPartitions("query_id", "media_ref")
             t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
                                   "blob").collect()
             # python-side broadcast: the tile bytes cross the wire ONCE
@@ -370,10 +371,12 @@ def extract(queries: DataFrame, catalog: DataFrame, tiles: DataFrame,
                 lambda it: _assemble_stream_lookup(it, bc.value,
                                                    emit_window),
                 WINDOW_SCHEMA)
-        t = tiles.select("media_ref", "level", "tile_x", "tile_y", "blob")
-        joined = k.join(F.broadcast(t),
-                        ["media_ref", "level", "tile_x", "tile_y"], "inner")
-        return decode_and_clip_mapside(joined, emit_window)
+        # over-ceiling tile table: a JVM broadcast of >512 MB of blobs is
+        # itself a driver/executor memory hazard and Spark hard-caps any
+        # broadcast relation at 8 GB / 512M rows — fall through to the
+        # shuffle strategy instead (VERDICT r5 item #3): the blob-free
+        # keys broadcast, and the matched blobs cross the wire exactly
+        # once, in the group-assembly exchange, which scales.
     joined = join_tiles(keys, tiles, broadcast_keys=broadcast_keys)
     return decode_and_clip(joined, emit_window)
 

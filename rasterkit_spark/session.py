@@ -83,10 +83,18 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     Small-file inputs (one parquet file → one partition) otherwise serialize
     every downstream pandas/numpy stage onto a single core — invisible at
     toy scale, fatal for scaling efficiency.  At 100 TB inputs are already
-    wide and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    wide and this is a no-op.
+
+    Trigger threshold is the core count, NOT the repartition target: an
+    input already at least as wide as the cluster keeps every core busy,
+    and repartitioning it anyway pays a full shuffle of the payload
+    (wide vectors, documents, blobs) for nothing — measured round 6 as an
+    extra corpus exchange in front of every dedup/similarity query.  When
+    the input IS narrow, we still repartition to ``factor``× the core
+    count so uneven partitions don't leave a straggler tail."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism * factor)
     return df
 
 

@@ -404,8 +404,10 @@ def test_null_rps_cadence_any_value():
 
 
 def test_extract_python_broadcast_fallback_parity(spark, corpus, sdfs):
-    """Force the python-broadcast path below and the JVM-join fallback
-    above the byte ceiling: identical results either way."""
+    """Force the python-broadcast path below and the shuffle-join
+    fallback above the byte ceiling (round 6: the over-ceiling branch is
+    the scale-safe shuffle plan, no blob broadcast): identical results
+    either way."""
     from rasterkit_spark.operators import extract as EX
     base = EX.extract(sdfs["queries_bbox"], sdfs["media_catalog"],
                       sdfs["tiles"]).select(
@@ -431,7 +433,7 @@ def test_extract_python_broadcast_fallback_parity(spark, corpus, sdfs):
 def test_over_ceiling_guard_never_collects_blobs(spark, corpus, sdfs,
                                                  monkeypatch):
     """broadcast_tiles with an over-ceiling tile table must fall back to
-    the JVM-broadcast join WITHOUT ever materializing blob rows on the
+    the shuffle join WITHOUT ever materializing blob rows on the
     driver: the size check is a cluster-side aggregate, so the only
     driver collects carry blob-free rows (ADVICE r4 — the old guard
     collected the full tile table just to measure it)."""

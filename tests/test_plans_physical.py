@@ -124,3 +124,46 @@ def test_corpus_pipeline_plan_shuffle_census(spark):
     # window partition — with AQE reuse this stays a small constant;
     # the bound catches an accidental extra corpus-wide shuffle
     assert n_exchange <= 12, plan[:4000]
+
+
+def test_over_ceiling_fallback_never_broadcasts_blobs(spark, sdfs,
+                                                      monkeypatch):
+    """VERDICT r5 #3: above MAX_PY_TILE_BROADCAST the broadcast_tiles
+    paths must fall back to the SHUFFLE plan, never a JVM broadcast of
+    the blob table (a >512 MB broadcast is a driver/executor hazard and
+    Spark hard-caps broadcast relations at 8 GB).  Assert no
+    BroadcastExchange in either plan carries the blob column — the only
+    broadcasts left are blob-free key/catalog sides."""
+    import io
+    import re
+    import sys
+
+    from rasterkit_spark.operators import extract as EX
+    from rasterkit_spark.operators import spatial as SP
+
+    def formatted(df) -> str:
+        buf, old = io.StringIO(), sys.stdout
+        sys.stdout = buf
+        try:
+            df.explain("formatted")
+        finally:
+            sys.stdout = old
+        return buf.getvalue()
+
+    monkeypatch.setattr(EX, "MAX_PY_TILE_BROADCAST", 0)
+    plans = {
+        "extract": formatted(EX.extract(
+            sdfs["queries_bbox"], sdfs["media_catalog"], sdfs["tiles"],
+            broadcast_tiles=True)),
+        "zonal": formatted(SP.zonal_stats(
+            sdfs["zones"], sdfs["media_catalog"], sdfs["tiles"],
+            broadcast_tiles=True)),
+    }
+    pat = re.compile(r"\(\d+\) BroadcastExchange\s*\nInput(?: \[\d+\])?"
+                     r":\s*\[([^\]]*)\]")
+    for name, txt in plans.items():
+        hits = pat.findall(txt)
+        assert hits, f"{name}: expected blob-free broadcasts in the plan"
+        for cols in hits:
+            assert "blob" not in cols, \
+                f"{name}: blob column inside a BroadcastExchange: {cols}"
