@@ -508,14 +508,20 @@ def _verify_candidates(cand: DataFrame, docs: DataFrame, threshold: float,
     cand = cand.localCheckpoint(eager=True)
     # exact verification driven BY the candidate pairs — never a raw
     # shingle self-join (hot shingles in low-entropy corpora would make
-    # that quadratic): cand ⋈ shingles(id_a) ⋈ shingles on (id_b, shingle),
-    # so fan-out is |cand|·|shingles per doc|, independent of shingle heat.
-    # The shingle explode itself is ALSO candidate-reduced: only docs that
-    # appear in some candidate pair are re-shingled (semi-join on the
-    # candidate id set) — at corpus scale with a small dup fraction the
-    # verify cost is ∝ |candidates|, not ∝ |corpus| (exploding every
-    # doc's shingles to verify a handful of pairs re-ran the shingle UDF
-    # over the whole corpus THREE times: tok_a, tok_b and sizes).
+    # that quadratic).  The re-shingling is candidate-reduced: only docs
+    # that appear in some candidate pair are re-shingled (semi-join on
+    # the candidate id set) — at corpus scale with a small dup fraction
+    # the verify cost is ∝ |candidates|, not ∝ |corpus|.
+    #
+    # Intersections run on compact shingle-set ARRAYS, never an explode:
+    # the previous shape (cand ⋈ exploded-shingles(id_a) ⋈ shingles on
+    # (id_b, shingle)) fanned every pair out to |shingles per doc| rows —
+    # |cand|·~200 rows through two shuffles, measured round 6 as ~85% of
+    # the whole minhash wall.  Joining the (id, sorted distinct shingle
+    # array) table twice ships each pair as two array cells instead, and
+    # the shared count is a JVM-codegen array_intersect — identical math
+    # (both sides are DISTINCT sets, so |array_intersect| is exactly the
+    # old per-shingle match count and sizes are the array sizes).
     cand_ids = (cand.select(F.col("id_a").alias("id"))
                 .unionByName(cand.select(F.col("id_b").alias("id")))
                 .distinct())
@@ -523,27 +529,28 @@ def _verify_candidates(cand: DataFrame, docs: DataFrame, threshold: float,
                           docs[id_col] == cand_ids["id"], "left_semi")
     tok = cand_docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_set_udf(shingle_n, use_words)(F.col(text_col)))
-         .alias("shingle"))
-    # materialize tok once as well: sizes, tok_a and tok_b are three
-    # separate subtrees that would each re-shingle (and re-read) the
-    # candidate docs; tok is candidate-bound (|cand docs|·|shingles/doc|),
-    # so the checkpoint is small by the same argument as cand
+        shingle_set_udf(shingle_n, use_words)(F.col(text_col)).alias("sh"))
+    # materialize tok once: the a- and b-side joins are two separate
+    # subtrees that would each re-shingle (and re-read) the candidate
+    # docs; tok is candidate-bound (|cand docs| rows of one array each)
     tok = tok.localCheckpoint(eager=True)
-    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
-    tok_a = tok.select(F.col("id").alias("id_a"), "shingle")
-    tok_b = tok.select(F.col("id").alias("id_b"), "shingle")
-    shared = (cand.join(tok_a, "id_a")
-              .join(tok_b, ["id_b", "shingle"])
-              .groupBy("id_a", "id_b").agg(F.count("*").alias("shared")))
-    j = (shared
-         .join(sizes.select(F.col("id").alias("id_a"),
-                            F.col("sz").alias("size_a")), "id_a")
-         .join(sizes.select(F.col("id").alias("id_b"),
-                            F.col("sz").alias("size_b")), "id_b")
+    # pin the verify stage's parallelism: the candidate rows are tiny
+    # (two ids), so AQE coalesces their exchange to a handful of tasks by
+    # BYTE size — but each row then pays an array_intersect over two
+    # ~200-element shingle arrays, the stage's real cost (the same
+    # bytes-vs-compute mismatch extract's key repartition documents).
+    # REPARTITION_BY_NUM is exempt from AQE coalescing.
+    n_parts = cand.sparkSession.sparkContext.defaultParallelism * 2
+    cand = cand.repartition(n_parts, "id_a")
+    tok_a = tok.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    tok_b = tok.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = (cand.join(tok_a, "id_a").join(tok_b, "id_b")
+         .withColumn("shared", shared)
          .withColumn("jaccard_e6", F.floor(
              F.col("shared") * 1e6 /
-             (F.col("size_a") + F.col("size_b") - F.col("shared"))).cast("long")))
+             (F.size("sh_a") + F.size("sh_b") - F.col("shared")))
+          .cast("long")))
     return (j.filter(F.col("jaccard_e6") >= int(threshold * 1e6))
             .select("id_a", "id_b", "jaccard_e6"))
 
