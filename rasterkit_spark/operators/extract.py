@@ -229,32 +229,98 @@ def decode_and_clip(joined: DataFrame, emit_window: bool = True) -> DataFrame:
                            WINDOW_SCHEMA))
 
 
-def _assemble_stream(pdf_iter, emit_window: bool = True):
-    """mapInPandas streaming assembly: rows arrive sorted by
-    (query_id, media_ref) within the partition; accumulate chunks per key
-    across Arrow batches and emit each window when its key closes."""
-    cur_key = None
-    cur_rows: list = []
+#: output batching bounds for the streaming assembly: emit one pandas
+#: frame per ~this many windows / payload bytes — per-window 1-row
+#: DataFrames (plus a groupby+concat per window) were measured round 6
+#: as ~60% of the whole big-raster assembly stage
+_ASSEMBLE_OUT_ROWS = 256
+_ASSEMBLE_OUT_BYTES = 32 * 1024 * 1024
 
-    def flush():
-        if cur_key is None or not cur_rows:
-            return None
-        return _assemble(pd.concat(cur_rows), emit_window)
+
+def _assemble_stream(pdf_iter, emit_window: bool = True, blob_of=None,
+                     chunk_memo: dict | None = None):
+    """mapInPandas streaming assembly: rows arrive sorted by
+    (query_id, media_ref) within the partition; iterate plain row tuples
+    (no per-batch groupby, no per-window concat), assemble each window
+    straight from the accumulated (tile, blob) list when its key closes,
+    and emit output in BATCHED frames (_ASSEMBLE_OUT_ROWS/_BYTES).
+
+    ``blob_of(row)`` (lookup path) fetches the blob for a key row —
+    returning None drops the row (OOB covers: inner-join semantics);
+    ``blob_of=None`` reads the row's own ``blob`` column.
+    ``chunk_memo`` (lookup path) is a per-task decoded-chunk front memo
+    keyed by tile coords — valid there because the broadcast tile map
+    pins one blob per key, so repeated rows skip the global cache's
+    per-call blob crc32."""
+    out_rows: list = []
+    out_bytes = 0
+    cur_key = None
+    cur_meta = None
+    chunks: list = []
+
+    def assemble() -> None:
+        nonlocal out_bytes
+        first = cur_meta
+        rx, ry = int(first.region_x), int(first.region_y)
+        rw, rh = int(first.region_w), int(first.region_h)
+        cw, ch = int(first.chunk_w), int(first.chunk_h)
+        comp, pred = int(first.compression), int(first.predictor)
+        spp = int(getattr(first, "samples_per_pixel", 1) or 1)
+        shape = (rh, rw) if spp == 1 else (rh, rw, spp)
+        out = np.zeros(shape, dtype=np.uint8)
+        for tx, ty, lvl, blob in chunks:
+            chunk = None
+            if chunk_memo is not None:
+                chunk = chunk_memo.get((first.media_ref, lvl, tx, ty))
+            if chunk is None:
+                chunk = _decode_chunk_cached(bytes(blob), comp, pred, cw,
+                                             ch, spp, first.media_ref,
+                                             tx, ty, lvl)
+                if chunk_memo is not None:
+                    chunk_memo[(first.media_ref, lvl, tx, ty)] = chunk
+                    if len(chunk_memo) > _DECODE_CACHE_CAP:
+                        chunk_memo.pop(next(iter(chunk_memo)))
+            K.clip_chunk_into(out, chunk, cw, ch, tx * cw, ty * ch,
+                              rx, ry, rw, rh, spp)
+        buf = out.tobytes()
+        out_rows.append({
+            "query_id": first.query_id,
+            "media_ref": first.media_ref,
+            "region_x": rx, "region_y": ry, "region_w": rw, "region_h": rh,
+            "window": bytearray(buf) if emit_window else None,
+            "window_sha256": hashlib.sha256(buf).hexdigest(),
+            "new_origin_x": float(first.new_origin_x),
+            "new_origin_y": float(first.new_origin_y),
+            "samples_per_pixel": spp,
+        })
+        out_bytes += len(buf) if emit_window else 64
 
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        for key, grp in pdf.groupby(["query_id", "media_ref"], sort=False):
-            if key != cur_key and cur_key is not None:
-                out = flush()
-                cur_rows.clear()
-                if out is not None:
-                    yield out
-            cur_key = key
-            cur_rows.append(grp)
-    out = flush()
-    if out is not None:
-        yield out
+        for row in pdf.itertuples():
+            if blob_of is not None:
+                blob = blob_of(row)
+                if blob is None:
+                    continue
+            else:
+                blob = row.blob
+            key = (row.query_id, row.media_ref)
+            if key != cur_key:
+                if cur_key is not None and chunks:
+                    assemble()
+                cur_key, cur_meta = key, row
+                chunks = []
+            chunks.append((int(row.tile_x), int(row.tile_y),
+                           int(getattr(row, "level", 0) or 0), blob))
+        if out_rows and (len(out_rows) >= _ASSEMBLE_OUT_ROWS
+                         or out_bytes >= _ASSEMBLE_OUT_BYTES):
+            yield pd.DataFrame(out_rows)
+            out_rows, out_bytes = [], 0
+    if cur_key is not None and chunks:
+        assemble()
+    if out_rows:
+        yield pd.DataFrame(out_rows)
 
 
 #: blob-bytes ceiling for the python-side tile broadcast; above it the
@@ -268,21 +334,15 @@ def _assemble_stream_lookup(pdf_iter, tile_map, emit_window: bool = True):
     Arrow per matched row.  Keys with no tile (OOB covers, shallow
     pyramids) are dropped — the inner-join semantics."""
 
-    def with_blobs():
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            blobs = [tile_map.get((m, int(lv), int(tx), int(ty)))
-                     for m, lv, tx, ty in zip(pdf["media_ref"],
-                                              pdf["level"],
-                                              pdf["tile_x"],
-                                              pdf["tile_y"])]
-            out = pdf.assign(blob=blobs)
-            out = out[out["blob"].notna()]
-            if len(out):
-                yield out
+    def blob_of(row):
+        return tile_map.get((row.media_ref, int(row.level),
+                             int(row.tile_x), int(row.tile_y)))
 
-    yield from _assemble_stream(with_blobs(), emit_window)
+    # per-task decoded-chunk memo: the broadcast map pins one blob per
+    # tile key, so repeat decodes within the task skip the global
+    # cache's per-call blob crc32 (measured: most of the decode phase)
+    yield from _assemble_stream(pdf_iter, emit_window, blob_of=blob_of,
+                                chunk_memo={})
 
 
 def decode_and_clip_mapside(joined_sorted: DataFrame,
