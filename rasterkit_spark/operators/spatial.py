@@ -726,7 +726,16 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
         F.array_max("_coords.ys").alias("maxy"),
         F.coalesce(F.col("epsg"), F.lit(4326)).alias("crs"),
         F.lit(None).cast("double").alias("radius_m"))
-    pairs = zonal_footprint_pairs(zq, catalog, cover_res)
+    # materialize the (query_id, media_ref) candidate-pair table once:
+    # it is consumed TWICE — feeding the region/key chain AND restoring
+    # no-pixel pairs in _zonal_finish — and left lazy each consumer
+    # re-ran the whole WKT-parse + double-explode footprint join +
+    # distinct subtree (measured round 6: the partials UDF is ~9 core-s
+    # while the zonal wall is 7-12 s — the wall is this plan/stage
+    # latency, not pixel work).  The table is one id pair per candidate,
+    # the same cardinality class as the output itself.
+    pairs = zonal_footprint_pairs(zq, catalog, cover_res) \
+        .localCheckpoint(eager=True)
     zr = zq.join(pairs, "query_id")
     regions = EX.resolve_regions(zr, catalog)
     keys = EX.expand_tile_keys(regions)
@@ -771,7 +780,7 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
                         .mapInPandas(
                             lambda it: _zonal_partials_lookup(it, bc.value),
                             _ZONAL_PARTIAL_SCHEMA))
-            return _zonal_finish(partials, regions)
+            return _zonal_finish(partials, pairs)
         # over-ceiling tile table: the old fallback JVM-broadcast the
         # whole >512 MB blob table — a driver/executor hazard with a hard
         # 8 GB broadcast cap — so fall through to the shuffle strategy
@@ -794,17 +803,23 @@ def zonal_stats(zones: DataFrame, catalog: DataFrame, tiles: DataFrame,
     partials = (joined.select(*cols)
                 .withColumnRenamed("query_id", "zone_id")
                 .mapInPandas(_zonal_tile_partials, _ZONAL_PARTIAL_SCHEMA))
-    return _zonal_finish(partials, regions)
+    return _zonal_finish(partials, pairs)
 
 
-def _zonal_finish(partials: DataFrame, regions: DataFrame) -> DataFrame:
+def _zonal_finish(partials: DataFrame, pairs: DataFrame) -> DataFrame:
     """groupBy reduce of per-tile partials + the left join that restores
-    candidate pairs whose polygons touched no pixel (zmin/zmax=-1)."""
+    candidate pairs whose polygons touched no pixel (zmin/zmax=-1).
+
+    ``pairs`` is the checkpointed footprint-pair table (query_id,
+    media_ref) — already distinct, and exactly the region chain's pair
+    set (resolve_regions only inner-joins the catalog rows every pair
+    came from), so reusing it here skips a full recompute of the WKT +
+    footprint-join subtree per call."""
     agg = partials.groupBy("zone_id", "media_ref").agg(
         F.min("pmin").alias("zmin"), F.max("pmax").alias("zmax"),
         F.sum("psum").alias("zsum"), F.sum("pcount").alias("zcount"))
-    all_pairs = regions.select(F.col("query_id").alias("zone_id"),
-                               "media_ref").distinct()
+    all_pairs = pairs.select(F.col("query_id").alias("zone_id"),
+                             "media_ref")
     return (all_pairs.join(agg, ["zone_id", "media_ref"], "left")
             .select("zone_id", "media_ref",
                     F.coalesce(F.col("zmin"), F.lit(-1)).alias("zmin"),
