@@ -91,7 +91,12 @@ def _large_star(e: DataFrame) -> DataFrame:
     neighbors to the minimum of its closed neighborhood.  Expressed as a
     per-node min groupBy + an equi-join back — no collect_set/collect_list,
     so a hub node (one doc duplicated a million times) never has to
-    materialize its whole neighborhood inside a single task."""
+    materialize its whole neighborhood inside a single task.
+
+    The trailing dropDuplicates is load-bearing for clique-shaped
+    rounds (the dup-cluster regime): a size-s clique emits one row per
+    oriented edge (~s²/2) that the dedup collapses to the s−1 distinct
+    (member, min) pairs before small_star's join re-expands them."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     return (sym.filter(F.col("v") > F.col("u"))
@@ -115,6 +120,31 @@ def _small_star(e: DataFrame) -> DataFrame:
             .dropDuplicates(["u", "v"]))
 
 
+def _is_min_star_forest(e: DataFrame) -> bool:
+    """True iff the oriented edge set is a two-level min-star forest —
+    exactly the fixed points of the large-star/small-star alternation.
+
+    Proof sketch (both directions, so the loop stops exactly when the
+    old compare-to-previous-round check would): small_star output is
+    always oriented u > v; an edge set is unchanged by small_star iff
+    every u has exactly ONE outgoing edge (two smaller neighbors v1 < v2
+    collapse to (u,v1),(v2,v1) ≠ input), and unchanged by large_star iff
+    no node is both a member (appears as u) and a root (appears as v) —
+    a root is then the minimum of its closed neighborhood and both
+    rounds re-emit the same (member, root) edges.  One aggregation over
+    the tagged endpoints checks both conditions — structural and exact,
+    unlike the sum/hash signatures the docstring below rejects."""
+    tagged = e.select(F.col("u").alias("n"), F.lit(1).alias("m"),
+                      F.lit(0).alias("r")) \
+        .unionAll(e.select(F.col("v").alias("n"), F.lit(0).alias("m"),
+                           F.lit(1).alias("r")))
+    bad = (tagged.groupBy("n")
+           .agg(F.sum("m").alias("m"), F.sum("r").alias("r"))
+           .filter((F.col("m") > 1)
+                   | ((F.col("m") > 0) & (F.col("r") > 0))))
+    return bad.isEmpty()
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 25) -> DataFrame:
     """Connected components of an undirected dup-pair graph →
@@ -128,12 +158,15 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     localCheckpoint-ed: iterative self-referencing plans otherwise grow an
     unbounded lineage that re-executes from round 0 on any recompute.
 
-    Convergence: stop when a round leaves the edge set EXACTLY unchanged
-    (count equal + ``exceptAll`` empty — a star forest is the fixed point
-    of the round; aggregate signatures like sum(u)/sum(v) can collide
-    between different edge sets and would break silently).  Raises after
-    ``max_iter`` rounds — for n nodes log₂²(n) rounds suffice, so 25
-    covers any physically storable graph.
+    Convergence: stop when the round's output IS the fixed point — a
+    two-level min-star forest, detected structurally by ONE aggregation
+    (:func:`_is_min_star_forest`; exact, not an aggregate signature like
+    sum(u)/sum(v), which can collide between different edge sets and
+    would break silently).  This fires one round earlier than the old
+    compare-to-previous-round check (which needed a confirmation round
+    re-producing the identical set, plus an ``exceptAll`` pass).  Raises
+    after ``max_iter`` rounds — for n nodes log₂²(n) rounds suffice, so
+    25 covers any physically storable graph.
 
     Ids keep their NATIVE type (long, string, …) — the algorithm only
     needs the column's total order, and a silent cast would turn string
@@ -143,13 +176,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
          .filter(F.col("u") != F.col("v"))
          .dropDuplicates(["u", "v"]))
     e = e.localCheckpoint(eager=True)
-    prev, prev_count = None, -1
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        n = e.count()
-        if n == prev_count and e.exceptAll(prev).count() == 0:
+        if _is_min_star_forest(e):
             break
-        prev, prev_count = e, n
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
