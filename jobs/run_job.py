@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64,
                     help="logical partitions for resumable mode")
     args = ap.parse_args()
+    if args.job == "corpus" and not (args.docs and args.benchmark):
+        # fail fast with a usage error instead of a TypeError deep inside
+        # the parquet reader (ADVICE r5)
+        ap.error("corpus job requires --docs and --benchmark")
 
     from rasterkit_spark import api
     from rasterkit_spark.session import get_spark, table_writer

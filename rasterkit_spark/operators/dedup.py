@@ -1063,8 +1063,20 @@ def bloom_bits_from_hashes(hashes: DataFrame, m_bits: int,
     each partition sets its bits into a local ceil(m_bits/8)-byte bitmap
     (mapInPandas, numpy-vectorized double hashing), the driver ORs the
     per-partition bitmaps.  Driver memory is bounded by
-    ceil(m_bits/8) × n_partitions bytes of bitmaps, never by row count."""
+    ceil(m_bits/8) × n_partitions bytes of bitmaps, never by row count.
+
+    ``m_bits`` is capped at 2^30: the double-hashing family masks h1 to
+    30 bits, so a larger bitmap has unreachable indices and its realized
+    false-positive rate silently exceeds the (1-e^{-kn/m})^k formula
+    (ADVICE r5) — shard into multiple filters instead of one huge one."""
     import pandas as _pd
+
+    if m_bits > (1 << 30):
+        raise ValueError(
+            f"bloom_bits_from_hashes: m_bits={m_bits} exceeds 2^30 — the "
+            "30-bit double-hashing family cannot reach higher indices "
+            "(the realized fp rate would silently degrade); build one "
+            "filter per key shard instead")
 
     def build(it):
         bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)

@@ -195,6 +195,31 @@ def test_pack_sequences_stream_is_contiguous_per_shard(spark):
             expect_start += r.n_tokens + 1  # +1 EOS separator
 
 
+def test_pack_sequences_shard_buckets_identical_and_parallel(spark):
+    """VERDICT r5 #6: shard_buckets=N must (a) return bit-identical rows
+    to the single-window plan even for a ONE-shard corpus, and (b) run
+    the big cumsum window partitioned by (shard, bucket) — no
+    single-partition sort of the hot shard."""
+    rng = np.random.default_rng(43)
+    rows = [dict(doc_id=i, source="only_shard", text=" ".join(
+        "w" for _ in range(int(rng.integers(0, 120)))))
+        for i in range(200)]
+    rows[11]["text"] = ""
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    base = TX.pack_sequences(docs, seq_len=64, shard_col="source") \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    bucketed_df = TX.pack_sequences(docs, seq_len=64, shard_col="source",
+                                    shard_buckets=4)
+    bucketed = bucketed_df.toPandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, bucketed)
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    # the heavy cumsum window is keyed by (shard, _b): its exchange must
+    # hash-partition on both, never on the bare shard column
+    assert "hashpartitioning(shard" in plan and "_b" in \
+        plan.split("hashpartitioning(shard")[1][:80], plan[:2000]
+
+
 def test_corpus_pipeline_matches_staged_composition(spark):
     """The composed plan must equal running the stages one by one."""
     from rasterkit_spark.operators.pipeline import corpus_pipeline
