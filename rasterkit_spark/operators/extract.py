@@ -218,12 +218,23 @@ def _assemble(pdf: pd.DataFrame, emit_window: bool = True) -> pd.DataFrame:
 
 
 def decode_and_clip(joined: DataFrame, emit_window: bool = True) -> DataFrame:
-    """Group chunks back into clipped windows (Arrow-batched)."""
+    """Group chunks back into clipped windows (Arrow-batched).
+
+    The group exchange is pinned to an explicit partition count
+    (REPARTITION_BY_NUM — exempt from AQE coalescing): the matched rows
+    are small in BYTES (compressed blobs) but huge in downstream decode/
+    assembly cost, and AQE's byte-sized coalescing squeezed the whole
+    assembly stage onto ONE task (observed as a (0+1)/1 stage in the
+    round-6 bench).  applyInPandas' required ClusteredDistribution on the
+    group keys is satisfied by this hash partitioning, so no second
+    exchange is added."""
     cols = ["query_id", "media_ref", "level", "region_x", "region_y",
             "region_w", "region_h", "chunk_w", "chunk_h", "compression",
             "predictor", "samples_per_pixel", "tile_x", "tile_y", "blob",
             "new_origin_x", "new_origin_y"]
+    n_parts = joined.sparkSession.sparkContext.defaultParallelism * 3
     return (joined.select(*cols)
+            .repartition(n_parts, "query_id", "media_ref")
             .groupBy("query_id", "media_ref")
             .applyInPandas(lambda pdf: _assemble(pdf, emit_window),
                            WINDOW_SCHEMA))
