@@ -25,6 +25,11 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 MERSENNE_61 = (1 << 61) - 1
 
+#: anchor-row ceiling for broadcasting one side of shared_span_pairs'
+#: gram self-join (~24 B/row → ≈200 MB built relation, the guide's
+#: "few hundred MB is fine" band); above it the join sort-merges
+SPANS_BROADCAST_ANCHOR_CAP = 8_000_000
+
 
 def md5_int(c: Column) -> Column:
     """Portable 60-bit int from md5 (first 15 hex digits).  DuckDB replay:
@@ -272,9 +277,12 @@ def shared_span_pairs(docs: DataFrame, min_len: int = 40,
     # md5 ran FOUR times per call — 2 sides × the spans/anchors branches —
     # with one copy shipped as a broadcast that dies at the 8 GB cap at
     # corpus scale).  After the checkpoint both sides read the same
-    # ~24 B/row (id, pos, g) blocks and the join plans from EXACT size
-    # stats; the block is freed by the ContextCleaner on GC.
+    # ~24 B/row (id, pos, g) blocks; the block is freed by the
+    # ContextCleaner on GC.
     grams = grams.localCheckpoint(eager=True)
+    # exact anchor count: one cheap job over the checkpoint block counts
+    # (pre-df-cap upper bound), driving the join strategy below
+    n_anchors_total = grams.count()
     if max_gram_docs is not None:
         keep = (grams.groupBy("g")
                 .agg(F.countDistinct("id").alias("df"))
@@ -284,8 +292,18 @@ def shared_span_pairs(docs: DataFrame, min_len: int = 40,
                      "g")
     b = grams.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"),
                      "g")
-    m = (a.join(b, "g")
-         .filter(F.col("id_a") < F.col("id_b"))
+    # size-driven join strategy from the EXACT anchor count: the
+    # checkpointed scan inherits the pre-explode cardinality ESTIMATE, so
+    # left to itself the planner JVM-broadcasts one whole anchor side —
+    # fine at test scale, dead at the 8 GB broadcast cap at corpus scale.
+    # Small anchor tables broadcast explicitly (no shuffle, no sort);
+    # big ones sort-merge on the 8-byte gram key, which spills gracefully
+    # on hot grams.
+    if n_anchors_total <= SPANS_BROADCAST_ANCHOR_CAP:
+        m = a.join(F.broadcast(b), "g")
+    else:
+        m = a.hint("merge").join(b.hint("merge"), "g")
+    m = (m.filter(F.col("id_a") < F.col("id_b"))
          .select("id_a", "id_b", "pa",
                  (F.col("pa") - F.col("pb")).alias("diag")))
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")

@@ -78,8 +78,11 @@ def main() -> None:
                             nprobe=nprobe).count()
 
     # ---- binary-transport variant ----
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve the local 'pd' alias (the same
+    # gotcha minhash_sig_udf documents)
     @pandas_udf(BinaryType())
-    def pack(v: pd.Series) -> pd.Series:
+    def pack(v):
         return pd.Series(
             [np.asarray(x, dtype=np.float32).tobytes() for x in v])
 
