@@ -181,6 +181,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
          .filter(F.col("u") != F.col("v"))
          .dropDuplicates(["u", "v"]))
     e = e.localCheckpoint(eager=True)
+    # exactly ONE alternation round per checkpoint: each star references
+    # its input ~3× (the union's two sides + the min join-back), so an
+    # un-materialized previous round would re-execute several times
+    # inside the next one — batching two rounds per checkpoint was tried
+    # round 6 and measured SLOWER for exactly that reason
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         if _is_min_star_forest(e):
@@ -889,8 +894,13 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 3,
     groupBy per doc.  No driver-side collection of either side."""
     gcol = word_shingles(F.col(text_col), n) if use_words \
         else shingles(F.col(text_col), n)
-    doc_grams = (docs.select(F.col(id_col), F.explode(gcol).alias("g"))
-                 .dropDuplicates([id_col, "g"]))
+    # per-doc distinctness via array_distinct BEFORE the explode: each
+    # row holds one doc's grams, so this is exactly dropDuplicates([id,
+    # g]) — but narrow (no exchange), where the old dropDuplicates
+    # shuffled every exploded gram STRING corpus-wide (measured round 6:
+    # ~5M × ~30 B rows through a full exchange per call)
+    doc_grams = docs.select(F.col(id_col),
+                            F.explode(F.array_distinct(gcol)).alias("g"))
     bench_grams = (benchmark.select(F.explode(
         word_shingles(F.col(text_col), n) if use_words
         else shingles(F.col(text_col), n)).alias("g"))
@@ -1158,8 +1168,10 @@ def contamination_check_bloom(docs: DataFrame, benchmark: DataFrame,
     on the driver) — no gram list ever materializes on the driver."""
     gram = (word_shingles(F.col(text_col), n) if use_words
             else shingles(F.col(text_col), n))
-    doc_grams = (docs.select(F.col(id_col), F.explode(gram).alias("g"))
-                 .dropDuplicates([id_col, "g"]))
+    # narrow per-doc distinctness (array_distinct before the explode) —
+    # see contamination_check: identical set, no corpus-wide exchange
+    doc_grams = docs.select(F.col(id_col),
+                            F.explode(F.array_distinct(gram)).alias("g"))
     bench_grams = (benchmark.select(F.explode(
         word_shingles(F.col(text_col), n) if use_words
         else shingles(F.col(text_col), n)).alias("g"))
