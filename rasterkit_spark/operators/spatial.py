@@ -126,22 +126,45 @@ _PIP_SCHEMA_FIELDS = [
 PIP_SCHEMA = StructType(_PIP_SCHEMA_FIELDS)
 
 
+#: rows accumulated before one grouped ray-cast pass: per-Arrow-batch
+#: grouping (1024 rows × ~100 polygon groups) degenerated into tens of
+#: thousands of ~10-point kernel calls, each overhead-bound; chunking
+#: 64× deeper amortizes the groupby and vectorizes the kernel while
+#: keeping task memory bounded (~15 MB of candidate rows)
+_PIP_REFINE_CHUNK_ROWS = 65536
+
+
 def _refine_pip(pdf_iter):
-    """mapInPandas refinement: per batch, group candidates by polygon and
-    run the vectorized ray-cast once per polygon (kernels.points_in_polygon)."""
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
+    """mapInPandas refinement: accumulate Arrow batches to a bounded
+    chunk, group candidates by polygon, and run the vectorized ray-cast
+    once per (chunk, polygon) (kernels.points_in_polygon)."""
+
+    def refine(pdf):
         keep_rows = []
         for poly_id, grp in pdf.groupby("poly_id", sort=False):
             xs = np.asarray(grp.iloc[0].poly_xs, dtype=np.float64)
             ys = np.asarray(grp.iloc[0].poly_ys, dtype=np.float64)
-            inside = K.points_in_polygon(grp.px.to_numpy(), grp.py.to_numpy(),
-                                         xs, ys)
+            inside = K.points_in_polygon(grp.px.to_numpy(),
+                                         grp.py.to_numpy(), xs, ys)
             sub = grp.loc[inside, ["point_id", "poly_id"]]
             keep_rows.append(sub)
-        if keep_rows:
-            yield pd.concat(keep_rows)
+        return pd.concat(keep_rows) if keep_rows else None
+
+    pending, n_pending = [], 0
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pending.append(pdf)
+        n_pending += len(pdf)
+        if n_pending >= _PIP_REFINE_CHUNK_ROWS:
+            out = refine(pd.concat(pending))
+            pending, n_pending = [], 0
+            if out is not None:
+                yield out
+    if pending:
+        out = refine(pd.concat(pending))
+        if out is not None:
+            yield out
 
 
 def pip_join(points: DataFrame, polys: DataFrame,
